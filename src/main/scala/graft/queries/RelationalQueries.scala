@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Reference-surface relational operators (SURVEY.md §2) re-expressed over the
+  * driver corpus, each paired with its DuckDB oracle.
+  *
+  * Determinism rules applied throughout (the driver hash-compares values):
+  *  - every floating aggregate is `round(_, 2..4)` on BOTH sides, so
+  *    summation-order ulp drift between engines cannot flip the hash;
+  *  - every result carries a total ORDER BY (ties broken by a unique key);
+  *  - dates/timestamps are rendered as formatted strings at the boundary so
+  *    parquet physical type differences cannot leak into the compare.
+  *
+  * Scale notes are inline per query — the same plans are what we'd run at
+  * 100 TB, with broadcast hints only where the build side is provably small.
+  */
+object RelationalQueries {
+  import Tables._
+
+  private val fmtD = "yyyy-MM-dd"
+
+  def all: Seq[Q] = Seq(
+    // ── A1: row count (docs/GCP_SETUP.md:362-365) ──────────────────────────
+    Q("a1_count",
+      "SELECT count(*) AS n_rows FROM lineitem") { (s, d) =>
+      lineitem(s, d).agg(count(lit(1)).as("n_rows"))
+    },
+
+    // ── A2: freshness MAX(date) (docs/DEPLOYMENT.md:448-450) ───────────────
+    Q("a2_freshness",
+      "SELECT strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship_date FROM lineitem") { (s, d) =>
+      lineitem(s, d).agg(date_format(max(col("l_shipdate")), fmtD).as("max_ship_date"))
+    },
+
+    // ── A3: daily rollup over trailing week (docs/DEPLOYMENT.md:452-461).
+    // Anchored to max(l_shipdate) instead of current_date so the result is
+    // stable on the fixed corpus. Scale: partial (map-side) agg + one shuffle
+    // on the group key; with date-partitioned storage the filter is partition
+    // pruning, not a scan.
+    Q("a3_daily_rollup",
+      """WITH mx AS (SELECT max(l_shipdate) AS m FROM lineitem)
+        |SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |       count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem, mx WHERE l_shipdate >= m - INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY ship_date DESC""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d)
+      val mx = li.agg(max(col("l_shipdate")).as("m"))
+      li.join(broadcast(mx), col("l_shipdate") >= col("m") - expr("INTERVAL 7 DAYS"))
+        .groupBy(date_format(col("l_shipdate"), fmtD).as("ship_date"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("ship_date").desc)
+    },
+
+    // ── A4: freshness health check CASE WHEN (docs/DEPLOYMENT.md:466-475).
+    // "today" := max(o_orderdate); OK iff shipments are at least that fresh.
+    Q("a4_health_check",
+      """SELECT strftime((SELECT max(o_orderdate) FROM orders), '%Y-%m-%d') AS check_date,
+        |       CASE WHEN (SELECT max(l_shipdate) FROM lineitem) >=
+        |                 (SELECT max(o_orderdate) FROM orders)
+        |            THEN 'OK' ELSE 'MISSING_DATA' END AS status""".stripMargin) { (s, d) =>
+      val mxShip  = lineitem(s, d).agg(max(col("l_shipdate")).as("ms"))
+      val mxOrder = orders(s, d).agg(max(col("o_orderdate")).as("mo"))
+      mxShip.crossJoin(mxOrder).select(
+        date_format(col("mo"), fmtD).as("check_date"),
+        when(col("ms") >= col("mo"), "OK").otherwise("MISSING_DATA").as("status"))
+    },
+
+    // ── D1: deterministic first-wins dedup (main.py:500-515). The reference
+    // relies on Python arrival order; under parallelism we pin an explicit
+    // TOTAL ingest order (l_linenumber alone is not unique in this corpus,
+    // so ties are broken by the remaining columns) and take row_number()==1
+    // per key. Scale: one shuffle on the key; no driver-side state.
+    Q("d1_dedup_first_wins",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+        |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .drop("l_partkey", "l_suppkey", "l_extendedprice")
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("l_orderkey")
+    },
+
+    // ── D2: full-row distinct (README.md:382-385) ──────────────────────────
+    Q("d2_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ── U1: multi-source union then aggregate (main.py:471-498). Mirrors the
+    // per-account fetch + concat; unionByName keeps it schema-safe.
+    Q("u1_union_accounts",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total FROM (
+        |  SELECT * FROM events WHERE event_type = 'click'
+        |  UNION ALL SELECT * FROM events WHERE event_type = 'purchase'
+        |) GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      ev.filter(col("event_type") === "click")
+        .unionByName(ev.filter(col("event_type") === "purchase"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy("event_type")
+    },
+
+    // ── V1: dynamic pivot (main.py:383-391,517-520). Key list pinned for
+    // oracle parity; the dynamic two-pass variant (distinct keys collected
+    // first) lives in operators.ActionsPivot. Scale: single shuffle on the
+    // group key; pivot is a wide projection after the aggregate.
+    Q("v1_pivot_events",
+      """SELECT user_id,
+        |  coalesce(round(sum(CASE WHEN event_type='click'    THEN value END), 2), 0) AS click,
+        |  coalesce(round(sum(CASE WHEN event_type='error'    THEN value END), 2), 0) AS error,
+        |  coalesce(round(sum(CASE WHEN event_type='purchase' THEN value END), 2), 0) AS purchase,
+        |  coalesce(round(sum(CASE WHEN event_type='signup'   THEN value END), 2), 0) AS signup,
+        |  coalesce(round(sum(CASE WHEN event_type='view'     THEN value END), 2), 0) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      events(s, d).groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(col("value")), 2))
+        .na.fill(0.0)
+        .orderBy("user_id")
+    },
+
+    // ── P2/P6/P7: JSON flatten + cast (main.py:359-393; resp.json parse) ───
+    Q("p2_flatten_json",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin) { (s, d) =>
+      events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    },
+
+    // ── P3: guarded first-element extraction (backfill.py:126-133) ─────────
+    Q("p3_extract_first",
+      """SELECT doc_id,
+        |       coalesce(regexp_split_to_array(trim(text), '\s+')[1], '') AS first_tok
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        coalesce(element_at(split(trim(col("text")), "\\s+"), 1), lit("")).as("first_tok"))
+        .orderBy("doc_id")
+    },
+
+    // ── P4: column-name normalization (main.py:384,390) ────────────────────
+    Q("p4_normalize",
+      """SELECT DISTINCT replace(p_type, ' ', '_') AS type_norm FROM part
+        |ORDER BY type_norm""".stripMargin) { (s, d) =>
+      part(s, d).select(regexp_replace(col("p_type"), " ", "_").as("type_norm"))
+        .distinct().orderBy("type_norm")
+    },
+
+    // ── P5: composite key construction (main.py:506) ───────────────────────
+    Q("p5_concat_key",
+      """SELECT c_custkey, concat_ws('|', c_name, c_mktsegment) AS ckey
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).select(col("c_custkey"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("ckey"))
+        .orderBy("c_custkey")
+    },
+
+    // ── F2: inclusive date-range filter (backfill.py:263-269) ──────────────
+    Q("f2_date_range",
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate").between(lit("1996-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // ── J1: broadcast join — part is the small build side; at 100 TB the dim
+    // stays broadcastable while lineitem streams map-side (no shuffle).
+    Q("j1_broadcast_join",
+      """SELECT p_brand, count(*) AS n,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin) { (s, d) =>
+      lineitem(s, d).join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("p_brand")
+    },
+
+    // ── J2: shuffle join — both sides scale with SF, so hash-partition on the
+    // join key and let AQE pick shuffle-hash vs sort-merge (+ skew split).
+    Q("j2_shuffle_join",
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      lineitem(s, d).join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ── J3: semi join (EXISTS) ─────────────────────────────────────────────
+    Q("j3_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).join(
+        orders(s, d).filter(col("o_totalprice") > 100000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // ── J4: anti join (NOT EXISTS) ─────────────────────────────────────────
+    Q("j4_anti_join",
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    },
+
+    // ── J5: star join across 5 relations (flagship). Dims are broadcast;
+    // only the lineitem⋈orders edge shuffles.
+    Q("j5_star_join",
+      """SELECT r_name, n_name, count(*) AS n,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // ── W1: running sum window. Frame order is total (unique key suffix), so
+    // the sequential accumulation order — and thus the rounded double — is
+    // identical in both engines.
+    Q("w1_window_running",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       round(sum(l_extendedprice) OVER (
+        |         PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_extendedprice")).over(w), 2).as("running"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    // ── W2: top-N per group via rank ───────────────────────────────────────
+    Q("w2_topn_per_group",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d).select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+
+    // ── S1: global top-k with total tie-break. Scale: Spark turns
+    // ORDER BY+LIMIT into TakeOrderedAndProject (per-partition heaps, no full
+    // sort/shuffle of the data).
+    Q("s1_topk_orders",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    },
+
+    // ── AGG1: multi-aggregate incl. exact distinct ─────────────────────────
+    Q("agg1_stats",
+      """SELECT l_returnflag, count(*) AS n, count(DISTINCT l_partkey) AS n_parts,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(min(l_extendedprice), 2) AS min_price,
+        |       round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), countDistinct(col("l_partkey")).as("n_parts"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(min(col("l_extendedprice")), 2).as("min_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // ── AGG2: rollup (subtotals + grand total) ─────────────────────────────
+    Q("agg2_rollup",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin) { (s, d) =>
+      lineitem(s, d).rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("rflag", "lstatus")
+    },
+
+    // ── E1: schema evolution (main.py:400-438): old batch lacks the new
+    // metric column; merged read back-fills NULL. unionByName with
+    // allowMissingColumns is the parquet-world equivalent of the reference's
+    // BQ update_table append-NULLABLE-field flow.
+    Q("e1_schema_evolution",
+      """SELECT n_nationkey, n_name, CAST(NULL AS DOUBLE) AS new_metric FROM nation
+        |UNION ALL SELECT n_nationkey + 100, n_name, 1.5 FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val n = nation(s, d)
+      val oldBatch = n.select(col("n_nationkey"), col("n_name"))
+      val newBatch = n.select((col("n_nationkey") + 100).as("n_nationkey"),
+        col("n_name"), lit(1.5).as("new_metric"))
+      oldBatch.unionByName(newBatch, allowMissingColumns = true)
+        .orderBy("n_nationkey")
+    }
+  )
+}

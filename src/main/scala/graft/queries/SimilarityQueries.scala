@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`ArrayType(FloatType)`, dim 64).
+  *
+  * Determinism: floats are widened to double BEFORE any arithmetic (exact),
+  * dot products fold sequentially over the array (`aggregate`), ranking is on
+  * the ROUNDED cosine with the neighbor id as a total tie-break — so both
+  * engines rank the exact same values and the top-k set is bit-stable.
+  *
+  * Scale design (100 TB of vectors):
+  *  - `sim1` (brute force) broadcasts the query set and streams the corpus —
+  *    correct baseline, O(Q·N); this is the plan you run when Q is small.
+  *  - `sim2` (IVF) prunes the scan to the query's coarse partition (`label` is
+  *    the cluster assignment), the classic inverted-file layout: at scale the
+  *    corpus is *storage-partitioned* by label so the probe is partition
+  *    pruning, not a filter over the full scan.
+  */
+object SimilarityQueries {
+
+  /** embeddings with the float vector widened to double + its L2 norm. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")))
+
+  private def topkCos(s: SparkSession, d: String, sameLabelOnly: Boolean, k: Int): DataFrame = {
+    val corpus = vecs(s, d)
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val joined =
+      if (sameLabelOnly)
+        corpus.join(broadcast(queries),
+          col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      else
+        corpus.crossJoin(broadcast(queries)).filter(col("vec_id") =!= col("qid"))
+    val scored = joined
+      .withColumn("dot", expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("cos_sim", round(col("dot") / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos_sim"))
+      .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
+  }
+
+  /** Oracle: same math in DuckDB via a constant range(64) unnest. */
+  private def cosSql(sameLabelOnly: Boolean, k: Int): String = {
+    val labelPred = if (sameLabelOnly) "AND e.label = q.label" else ""
+    s"""WITH norms AS (
+       |  SELECT vec_id, sqrt(sum(CAST(embedding[r.range+1] AS DOUBLE)
+       |                          * CAST(embedding[r.range+1] AS DOUBLE))) AS nrm
+       |  FROM embeddings, range(64) r GROUP BY vec_id),
+       |dots AS (
+       |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |         sum(CAST(q.embedding[r.range+1] AS DOUBLE)
+       |             * CAST(e.embedding[r.range+1] AS DOUBLE)) AS dot
+       |  FROM embeddings q, embeddings e, range(64) r
+       |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id $labelPred
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT qid, nid, round(dot / (nq.nrm * ne.nrm), 4) AS cos_sim
+       |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms ne ON ne.vec_id = nid),
+       |ranked AS (
+       |  SELECT qid, nid, cos_sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rn
+       |  FROM scored)
+       |SELECT qid, nid, cos_sim FROM ranked WHERE rn <= $k
+       |ORDER BY qid, cos_sim DESC, nid""".stripMargin
+  }
+
+  def all: Seq[Q] = Seq(
+    // ── SIM1: brute-force cosine top-k (exact baseline) ────────────────────
+    Q("sim1_cosine_topk", cosSql(sameLabelOnly = false, k = 10)) { (s, d) =>
+      topkCos(s, d, sameLabelOnly = false, k = 10)
+    },
+
+    // ── SIM2: IVF-style probe — search only the query's coarse cluster ─────
+    Q("sim2_ivf_topk", cosSql(sameLabelOnly = true, k = 5)) { (s, d) =>
+      topkCos(s, d, sameLabelOnly = true, k = 5)
+    }
+  )
+}

@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.{Q, Tables}
+
+/** Structured Streaming surface: the `events` table replayed as a file
+  * stream, aggregated with tumbling event-time windows.
+  *
+  * The query runs `readStream → window agg → memory sink` synchronously
+  * (AvailableNow) so its result is a plain DataFrame the driver can
+  * hash-compare; the oracle is the equivalent batch GROUP BY on date_trunc.
+  * At scale the same plan runs continuously with a watermark bounding state
+  * (see graft.streaming.EventStream for the watermarked append-mode variant).
+  */
+object StreamingQueries {
+
+  private val stageDirRoot = "/root/repo/target/stream-stage"
+
+  /** File-stream sources need a directory; stage the single parquet file into
+    * one under the repo (never writing outside /root/repo).
+    */
+  private def stageEvents(s: SparkSession, d: String): String = {
+    val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"$stageDirRoot/events_$sf"
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      Tables.events(s, d).write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("st1_stream_window",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin) { (s, d) =>
+      val dir = stageEvents(s, d)
+      val schema = s.read.parquet(dir).schema
+      val name = s"st1_out_${System.nanoTime()}"
+      val q = s.readStream.schema(schema).parquet(dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("hour_start", "event_type")
+    }
+  )
+}

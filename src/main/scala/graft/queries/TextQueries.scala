@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Text-analysis and deduplication operators for a training-data pipeline,
+  * over the `documents` table. Everything is built from portable primitives
+  * (md5, regex split, array ops) so each query has an exact DuckDB oracle —
+  * including MinHash-LSH and SimHash, whose hash families are defined as
+  * `md5(seed || shingle)` precisely so both engines compute bit-identical
+  * signatures.
+  *
+  * Scale design (100 TB):
+  *  - shingling + the inverted-index join is the standard exact near-dup
+  *    path; the LSH variants exist because the exact self-join is quadratic
+  *    in hot shingles — at scale you run `dd3_minhash_lsh` (candidates only
+  *    where a band collides) and cap shingle document-frequency;
+  *  - all stages are shuffle-on-key with map-side partial aggregation; no
+  *    driver-side state, no collect.
+  */
+object TextQueries {
+
+  /** Tokens: whitespace split of trimmed text. */
+  private def tokensDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+
+  /** Distinct 3-gram word shingles per document. */
+  private def shinglesDf(s: SparkSession, d: String): DataFrame =
+    tokensDf(s, d)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
+      .distinct()
+
+  /** Exact pairwise shingle-set Jaccard via inverted-index self-join.
+    * Returns (a, b, inter, sza, szb, jaccard) for pairs sharing ≥1 shingle.
+    */
+  private def pairJaccard(sh: DataFrame): DataFrame = {
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
+  }
+
+  /** Shared DuckDB CTEs: tokens -> distinct 3-gram shingles -> set sizes.
+    * `range(1024)` is a constant-table cross join (DuckDB 1.0 has no lateral
+    * range); 1024 bounds tokens/doc, far above the corpus max.
+    */
+  private val shingleCtes: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         toks[r.range+1] || ' ' || toks[r.range+2] || ' ' || toks[r.range+3] AS sh
+      |       FROM t, range(1024) r WHERE r.range < len(toks) - 2),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val NearDupThreshold = 0.8
+
+  // ── SimHash construction (32-bit, over shingles) ─────────────────────────
+  // Bit j of hash(sh): hex digit d = j/4+1 of md5(sh), bit k = 3-(j%4) of
+  // that digit. Signature bit j = sign of Σ_sh (2*bit_j - 1).
+  private def hexDigitVal(c: Column, d: Int): Column =
+    conv(substring(c, d, 1), 16, 10).cast("int")
+
+  private def simhashSigCol(md5c: Column): Seq[Column] = // 32 per-bit ±1 contribs
+    (0 until 32).map { j =>
+      val v = hexDigitVal(md5c, j / 4 + 1)
+      (shiftright(v, 3 - (j % 4)).bitwiseAND(lit(1)) * 2 - 1).as(s"c$j")
+    }
+
+  private def simhashSqlSig: String = {
+    val digit = (d: Int) => s"(strpos('0123456789abcdef', substr(md5(sh), $d, 1)) - 1)"
+    val bits = (0 until 32).map { j =>
+      val v = digit(j / 4 + 1)
+      val k = 3 - (j % 4)
+      s"sum(($v // ${1 << k}) % 2 * 2 - 1) AS s$j"
+    }
+    val sig = (0 until 32).map(j => s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""sums AS (SELECT doc_id, ${bits.mkString(", ")} FROM sh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM sums)""".stripMargin
+  }
+
+  def all: Seq[Q] = Seq(
+    // ── T1: token counting (whitespace + BPE-ish piece regex) ──────────────
+    Q("t1_token_count",
+      """SELECT doc_id,
+        |       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_pieces"))
+        .orderBy("doc_id")
+    },
+
+    // ── T2: quality scoring: length, avg token length, stopword ratio ──────
+    Q("t2_quality_score",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |                  length(replace(text, ' ', '')) AS nosp FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |       round(CAST(nosp AS DOUBLE) / len(toks), 4) AS avg_tok_len,
+        |       round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+        |             / len(toks), 4) AS stop_ratio,
+        |       round(least(1.0, len(toks) / 64.0) * 0.5 +
+        |             (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+        |              / len(toks)) * 0.5, 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val stops = "array('the', 'a', 'of', 'and')"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          split(trim(col("text")), "\\s+").as("toks"),
+          length(regexp_replace(col("text"), " ", "")).as("nosp"))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_stop", size(expr(s"filter(toks, x -> array_contains($stops, x))")))
+        .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 4))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("nosp").cast("double") / col("n_tokens"), 4).as("avg_tok_len"),
+          col("stop_ratio"),
+          round(least(lit(1.0), col("n_tokens") / 64.0) * 0.5 +
+            (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.5, 4).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ── T3: language ID via marker-word scoring (n-gram heuristic) ─────────
+    Q("t3_lang_id",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sc AS (SELECT doc_id,
+        |         len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'a'))) AS s_en,
+        |         len(list_filter(toks, x -> x IN ('der', 'und', 'die', 'das'))) AS s_de,
+        |         len(list_filter(toks, x -> x IN ('el', 'la', 'los', 'de'))) AS s_es
+        |       FROM t)
+        |SELECT doc_id,
+        |       CASE WHEN greatest(s_en, s_de, s_es) = 0 THEN 'und'
+        |            WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+        |            WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_pred,
+        |       greatest(s_en, s_de, s_es) AS score
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val cnt = (set: String) => size(expr(s"filter(toks, x -> array_contains(array($set), x))"))
+      tokensDf(s, d)
+        .withColumn("s_en", cnt("'the', 'and', 'of', 'a'"))
+        .withColumn("s_de", cnt("'der', 'und', 'die', 'das'"))
+        .withColumn("s_es", cnt("'el', 'la', 'los', 'de'"))
+        .select(col("doc_id"),
+          when(greatest(col("s_en"), col("s_de"), col("s_es")) === 0, "und")
+            .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es"), "en")
+            .when(col("s_de") >= col("s_es"), "de").otherwise("es").as("lang_pred"),
+          greatest(col("s_en"), col("s_de"), col("s_es")).as("score"))
+        .orderBy("doc_id")
+    },
+
+    // ── T4: document fingerprint (md5 of whitespace-normalized text) ───────
+    Q("t4_fingerprint",
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ── DD1: exact dedup via content-hash groupBy (keeper = min id) ────────
+    Q("dd1_exact_dedup",
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).groupBy(md5(col("text")))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select("keeper_id", "n_copies")
+        .orderBy("keeper_id")
+    },
+
+    // ── DD2: exact n-gram Jaccard near-dup pairs ───────────────────────────
+    Q("dd2_ngram_jaccard",
+      s"""$shingleCtes,
+         |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+         |SELECT a, b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+         |FROM pairs JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $NearDupThreshold
+         |ORDER BY a, b""".stripMargin) { (s, d) =>
+      pairJaccard(shinglesDf(s, d))
+        .filter(col("jaccard") >= NearDupThreshold)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a", "b")
+    },
+
+    // ── DD3: MinHash + LSH banding. 8 min-hashes h_i = min(md5(i||'|'||sh))
+    // (lexicographic min over hex — a valid hash family both engines share),
+    // 4 bands of 2; candidates = pairs colliding on ≥1 band; verified with
+    // exact Jaccard. At scale only candidates (not all pairs) hit the
+    // verification join.
+    Q("dd3_minhash_lsh",
+      s"""$shingleCtes,
+         |sig AS (SELECT doc_id,
+         |  ${(1 to 8).map(i => s"min(md5('$i|' || sh)) AS h$i").mkString(", ")}
+         |  FROM sh GROUP BY doc_id),
+         |band AS (
+         |  SELECT doc_id, 1 AS bi, md5(h1 || h2) AS bv FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(h3 || h4) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(h5 || h6) FROM sig
+         |  UNION ALL SELECT doc_id, 4, md5(h7 || h8) FROM sig),
+         |cand AS (SELECT DISTINCT p.doc_id AS a, q.doc_id AS b
+         |         FROM band p JOIN band q ON p.bi = q.bi AND p.bv = q.bv
+         |                                AND p.doc_id < q.doc_id),
+         |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+         |SELECT c.a, c.b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+         |FROM cand c JOIN pairs i ON i.a = c.a AND i.b = c.b
+         |JOIN sz sa ON sa.doc_id = c.a JOIN sz sb ON sb.doc_id = c.b
+         |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $NearDupThreshold
+         |ORDER BY c.a, c.b""".stripMargin) { (s, d) =>
+      val sh = shinglesDf(s, d).cache()
+      val sig = sh.groupBy("doc_id").agg(
+        min(md5(concat(lit("1|"), col("sh")))).as("h1"),
+        min(md5(concat(lit("2|"), col("sh")))).as("h2"),
+        min(md5(concat(lit("3|"), col("sh")))).as("h3"),
+        min(md5(concat(lit("4|"), col("sh")))).as("h4"),
+        min(md5(concat(lit("5|"), col("sh")))).as("h5"),
+        min(md5(concat(lit("6|"), col("sh")))).as("h6"),
+        min(md5(concat(lit("7|"), col("sh")))).as("h7"),
+        min(md5(concat(lit("8|"), col("sh")))).as("h8"))
+      val bands = sig.select(col("doc_id"), explode(array(
+        struct(lit(1).as("bi"), md5(concat(col("h1"), col("h2"))).as("bv")),
+        struct(lit(2).as("bi"), md5(concat(col("h3"), col("h4"))).as("bv")),
+        struct(lit(3).as("bi"), md5(concat(col("h5"), col("h6"))).as("bv")),
+        struct(lit(4).as("bi"), md5(concat(col("h7"), col("h8"))).as("bv")))).as("band"))
+        .select(col("doc_id"), col("band.bi").as("bi"), col("band.bv").as("bv"))
+      val cand = bands.as("p").join(bands.as("q"),
+          col("p.bi") === col("q.bi") && col("p.bv") === col("q.bv") &&
+            col("p.doc_id") < col("q.doc_id"))
+        .select(col("p.doc_id").as("a"), col("q.doc_id").as("b")).distinct()
+      cand.join(pairJaccard(sh), Seq("a", "b"))
+        .filter(col("jaccard") >= NearDupThreshold)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a", "b")
+    },
+
+    // ── DD4: SimHash near-dup pairs (32-bit signature, hamming ≤ 3).
+    // Spark finds candidates by byte-blocking (pigeonhole: hd≤3 over 4 bytes
+    // ⇒ ≥1 byte equal) then verifies exact hamming; the oracle brute-forces
+    // all pairs — identical result, different (scalable) plan.
+    Q("dd4_simhash",
+      s"""$shingleCtes,
+         |$simhashSqlSig
+         |SELECT p.doc_id AS a, q.doc_id AS b,
+         |       bit_count(xor(p.sig, q.sig)) AS hamming
+         |FROM sig p JOIN sig q ON p.doc_id < q.doc_id
+         |WHERE bit_count(xor(p.sig, q.sig)) <= 3
+         |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val sh = shinglesDf(s, d)
+      val md5c = md5(col("sh"))
+      val contribs = simhashSigCol(md5c)
+      val sums = sh.select(col("doc_id") +: contribs: _*)
+        .groupBy("doc_id")
+        .agg(sum(col("c0")).as("s0"),
+          (1 until 32).map(j => sum(col(s"c$j")).as(s"s$j")): _*)
+      val sigExpr = (0 until 32).map(j =>
+        when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sig = sums.select(col("doc_id"), sigExpr.cast("long").as("sig"))
+      val blocks = sig.select(col("doc_id"), col("sig"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("bi"),
+          shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("blk"))
+        .select(col("doc_id"), col("sig"), col("blk.bi").as("bi"), col("blk.bv").as("bv"))
+      blocks.as("p").join(blocks.as("q"),
+          col("p.bi") === col("q.bi") && col("p.bv") === col("q.bv") &&
+            col("p.doc_id") < col("q.doc_id"))
+        .select(col("p.doc_id").as("a"), col("q.doc_id").as("b"),
+          bit_count(col("p.sig").bitwiseXOR(col("q.sig"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("a", "b")
+    }
+  )
+}

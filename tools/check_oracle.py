@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <name>/ parquet result written by graft.Verify, runs the matching
+SQL from oracle_sql.json in DuckDB (tables = the sfDir parquet files), sorts
+columns by name, canonicalizes rows, and reports match/mismatch per query.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: everything to string repr with float rounding guard
+    out = pd.DataFrame()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype.kind == "f":
+            out[c] = col.round(6)
+        elif str(col.dtype).startswith("datetime"):
+            out[c] = col.astype("datetime64[us]")
+        else:
+            out[c] = col
+    out = out.sort_values(by=list(out.columns), ignore_index=True)
+    return out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            n_bad += 1
+            continue
+        try:
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_bad += 1
+            continue
+        g, x = canon(got), canon(exp)
+        if list(g.columns) != list(x.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs oracle {list(x.columns)}")
+            n_bad += 1
+            continue
+        if len(g) != len(x):
+            print(f"FAIL {name}: rows {len(g)} vs oracle {len(x)}")
+            n_bad += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, x, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+            print(f"ok   {name} ({len(g)} rows)")
+            n_ok += 1
+        except AssertionError as e:
+            print(f"FAIL {name}: value mismatch: {str(e).splitlines()[-1] if str(e) else e}")
+            # show first differing rows
+            neq = (g != x) & ~(g.isna() & x.isna())
+            bad_rows = neq.any(axis=1)
+            print(g[bad_rows].head(3))
+            print(x[bad_rows].head(3))
+            n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} failed, {len(oracles)} total")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
