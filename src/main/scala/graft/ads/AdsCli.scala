@@ -1,0 +1,50 @@
+package graft.ads
+
+import org.apache.spark.sql.SparkSession
+
+/** The reference's three executables as one CLI (reference `main.py`,
+  * `backfill.py`, `load_csv_to_bq.py`):
+  *
+  *   runMain graft.ads.AdsCli daily    <fixtureDir> <acct1,acct2> <table> <auditCsv> [--dry-run]
+  *   runMain graft.ads.AdsCli backfill <fixtureDir> <acct1,acct2> <start> <end> <outDir>
+  *   runMain graft.ads.AdsCli load     <table> <csvPath|outDir-to-glob>
+  */
+object AdsCli {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ads")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val result = args.toList match {
+        case "daily" :: fixtures :: accts :: table :: audit :: rest =>
+          Pipelines.dailySync(spark, fixtures, accts.split(',').toSeq, table, audit,
+            dryRun = rest.contains("--dry-run"))
+        case "backfill" :: fixtures :: accts :: start :: end :: outDir :: Nil =>
+          val (path, r) = Pipelines.backfill(spark, fixtures, accts.split(',').toSeq,
+            start, end, outDir)
+          r.copy(message = s"${r.message} -> $path")
+        case "load" :: table :: src :: Nil =>
+          val csv =
+            if (new java.io.File(src).isDirectory)
+              Pipelines.latestBackfillCsv(src).getOrElse(
+                sys.error(s"no backfill_*.csv under $src"))
+            else src
+          Pipelines.loadCsv(spark, csv, table)
+        case other =>
+          sys.error(s"usage: daily|backfill|load ... (got: ${other.mkString(" ")})")
+      }
+      println(s"""{"status":"${result.status}","message":"${result.message}","rows_processed":${result.rowsProcessed}}""")
+    } finally spark.stop()
+  }
+}

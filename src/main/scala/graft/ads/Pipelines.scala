@@ -1,0 +1,78 @@
+package graft.ads
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** §3 entry points: the three executables of the reference, wired from the
+  * operators. (`main.py:454-550`, `backfill.py:177-291`,
+  * `load_csv_to_bq.py:41-151`.)
+  */
+final case class JobResult(status: String, message: String, rowsProcessed: Long)
+
+object Pipelines {
+
+  /** Daily sync (reference `main.py:454-550`): fetch per account with
+    * failure isolation → first-wins dedup on RAW records → collect action
+    * types → flatten+pivot → CSV audit → append to day-partitioned table
+    * (schema-evolving). `dryRun` builds and audits but skips the table sink
+    * (reference `main.py:462,538-540`).
+    */
+  def dailySync(
+      spark: SparkSession,
+      fixtureDir: String,
+      accounts: Seq[String],
+      tablePath: String,
+      auditCsvPath: String,
+      dryRun: Boolean = false): JobResult = {
+    val read = InsightsSource.read(spark, fixtureDir, accounts)
+    val deduped = AdOps.dedupFirstWins(read.data)
+    val actionTypes = AdOps.collectActionTypes(deduped)
+    val flat = AdOps.flattenAndPivot(deduped, actionTypes)
+    Sinks.csvAudit(flat, auditCsvPath)
+    val rows = if (dryRun) flat.count() else Sinks.appendToTable(spark, flat, tablePath)
+    val failNote =
+      if (read.failedAccounts.isEmpty) ""
+      else s" (failed accounts: ${read.failedAccounts.map(_._1).mkString(", ")})"
+    JobResult(if (dryRun) "dry_run" else "success", s"processed $rows rows$failNote", rows)
+  }
+
+  /** Backfill (reference `backfill.py:177-291`): ranged read, dedup across
+    * the WHOLE multi-day batch, explicit inclusive range filter (the API may
+    * return out-of-range rows), CSV output named like the reference.
+    */
+  def backfill(
+      spark: SparkSession,
+      fixtureDir: String,
+      accounts: Seq[String],
+      startDate: String,
+      endDate: String,
+      outDir: String): (String, JobResult) = {
+    require(startDate <= endDate, s"start $startDate must be <= end $endDate")
+    val read = InsightsSource.read(spark, fixtureDir, accounts,
+      dateStart = Some(startDate), dateStop = Some(endDate))
+    val deduped = AdOps.dedupFirstWins(read.data)
+    val actionTypes = AdOps.collectActionTypes(deduped)
+    val flat = AdOps.flattenAndPivot(deduped, actionTypes)
+    val ranged = AdOps.dateRangeFilter(flat, startDate, endDate)
+    val path = s"$outDir/backfill_${startDate}_to_$endDate.csv"
+    Sinks.csvAudit(ranged, path)
+    val n = ranged.count()
+    (path, JobResult("success", s"backfilled $n rows", n))
+  }
+
+  /** CSV → table append (reference `load_csv_to_bq.py:86-110`): header skip +
+    * schema inference + WRITE_APPEND, reporting loaded and total counts.
+    */
+  def loadCsv(spark: SparkSession, csvPath: String, tablePath: String): JobResult = {
+    val df = spark.read.option("header", "true").option("inferSchema", "true").csv(csvPath)
+    val loaded = Sinks.appendToTable(spark, df, tablePath)
+    val total = Sinks.readTable(spark, tablePath).count()
+    JobResult("success", s"loaded $loaded rows, table now $total rows", loaded)
+  }
+
+  /** S4: most-recent backfill file discovery (`load_csv_to_bq.py:132-148`). */
+  def latestBackfillCsv(dir: String): Option[String] = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    files.map(_.getName).filter(n => n.startsWith("backfill_") && n.endsWith(".csv"))
+      .sorted(Ordering[String].reverse).headOption.map(n => s"$dir/$n")
+  }
+}

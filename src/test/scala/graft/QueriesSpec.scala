@@ -1,0 +1,24 @@
+package graft
+
+/** Smoke: every declared query executes at sf0.001 and oracle coverage is
+  * complete. Value-level correctness is the DuckDB oracle gate
+  * (tools/check_oracle.py at sf0.01) — this spec guards executability and
+  * the queries↔oracle contract shape.
+  */
+class QueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every query executes and the flagship entry returns rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle (or is explicitly unchecked)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+}

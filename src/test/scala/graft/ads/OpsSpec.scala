@@ -1,0 +1,73 @@
+package graft.ads
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Prop, Test => SCTest}
+import graft.SparkSpec
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run a ScalaCheck property and assert it holds (scalatest bridge not on
+    * the classpath; raw scalacheck is).
+    */
+  private def check(p: Prop): Unit =
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p).passed)
+
+  test("extractMetric: present, empty list, null, non-numeric") {
+    val df = Seq(
+      (1, Seq("5")), (2, Seq.empty[String]), (3, null), (4, Seq("oops"))
+    ).toDF("id", "raw")
+      .withColumn("m", expr("transform(raw, v -> struct(v AS value))"))
+    val got = df.select($"id", AdOps.extractMetric($"m").as("v"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 5L, 2 -> 0L, 3 -> 0L, 4 -> 0L))
+  }
+
+  test("dedupFirstWins is idempotent and leaves unique keys") {
+    val df = Seq(
+      ("c", "a", "d1", "fb", 0, 0L, 1.0),
+      ("c", "a", "d1", "fb", 0, 1L, 2.0),
+      ("c", "a", "d1", "fb", 1, 0L, 3.0),
+      ("c", "b", "d1", "fb", 1, 0L, 4.0)
+    ).toDF("campaign_name", "ad_name", "date_start", "publisher_platform",
+      "account_idx", "ingest_idx", "spend")
+    val once = AdOps.dedupFirstWins(df)
+    val twice = AdOps.dedupFirstWins(once)
+    assert(once.count() == 2)
+    assert(twice.collect().toSet == once.collect().toSet)
+    assert(once.filter($"ad_name" === "a").select("spend").as[Double].head() == 1.0)
+    val keyCounts = once.groupBy(AdOps.dedupKey.map(col): _*).count()
+      .filter($"count" > 1).count()
+    assert(keyCounts == 0)
+  }
+
+  test("normalizeActionName replaces every dot and is idempotent") {
+    check(Prop.forAll { (s: String) =>
+      val n = AdOps.normalizeActionName(s)
+      !n.contains('.') && AdOps.normalizeActionName(n) == n
+    })
+    assert(AdOps.normalizeActionName("offsite_conversion.fb_pixel_lead") ==
+      "offsite_conversion_fb_pixel_lead")
+  }
+
+  test("schema merge is monotone: fields only added, never removed/retyped") {
+    check(Prop.forAll { (names1: List[String], names2: List[String]) =>
+      val ex = StructType(names1.distinct.map(n => StructField(n, StringType)))
+      val in = StructType(names2.distinct.map(n => StructField(n, LongType)))
+      val merged = SchemaEvolution.merge(ex, in)
+      ex.fields.forall(f => merged(f.name).dataType == f.dataType) &&
+        merged.fields.length >= ex.fields.length &&
+        SchemaEvolution.merge(merged, in) == merged
+    })
+  }
+
+  test("alignTo backfills missing columns as typed nulls") {
+    val target = StructType(Seq(
+      StructField("a", StringType), StructField("b", DoubleType)))
+    val aligned = SchemaEvolution.alignTo(Seq("x").toDF("a"), target)
+    assert(aligned.schema == StructType(Seq(
+      StructField("a", StringType), StructField("b", DoubleType))))
+    assert(aligned.select("b").collect()(0).isNullAt(0))
+  }
+}
