@@ -153,7 +153,7 @@ object RelationalQueries {
         |       coalesce(regexp_split_to_array(trim(text), '\s+')[1], '') AS first_tok
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       documents(s, d).select(col("doc_id"),
-        coalesce(element_at(split(trim(col("text")), "\\s+"), 1), lit("")).as("first_tok"))
+        coalesce(try_element_at(split(trim(col("text")), "\\s+"), lit(1)), lit("")).as("first_tok"))
         .orderBy("doc_id")
     },
 

@@ -66,14 +66,14 @@ object TextQueries {
 
   // ── SimHash construction (32-bit, over shingles) ─────────────────────────
   // Bit j of hash(sh): hex digit d = j/4+1 of md5(sh), bit k = 3-(j%4) of
-  // that digit. Signature bit j = sign of Σ_sh (2*bit_j - 1).
-  private def hexDigitVal(c: Column, d: Int): Column =
-    conv(substring(c, d, 1), 16, 10).cast("int")
-
-  private def simhashSigCol(md5c: Column): Seq[Column] = // 32 per-bit ±1 contribs
+  // that digit — equivalently bit (31-j) of the 32-bit word formed by the
+  // first 8 hex digits. Spark computes that word ONCE per shingle
+  // (`conv(substr(md5,1,8))`) and extracts bits with shifts; the oracle SQL
+  // spells out the per-digit arithmetic — identical values.
+  // Signature bit j = sign of Σ_sh (2*bit_j - 1).
+  private def simhashSigCol(bits: Column): Seq[Column] = // 32 per-bit ±1 contribs
     (0 until 32).map { j =>
-      val v = hexDigitVal(md5c, j / 4 + 1)
-      (shiftright(v, 3 - (j % 4)).bitwiseAND(lit(1)) * 2 - 1).as(s"c$j")
+      (shiftright(bits, 31 - j).bitwiseAND(lit(1L)) * 2 - 1).as(s"c$j")
     }
 
   private def simhashSqlSig: String = {
@@ -233,11 +233,23 @@ object TextQueries {
         struct(lit(3).as("bi"), md5(concat(col("h5"), col("h6"))).as("bv")),
         struct(lit(4).as("bi"), md5(concat(col("h7"), col("h8"))).as("bv")))).as("band"))
         .select(col("doc_id"), col("band.bi").as("bi"), col("band.bv").as("bv"))
+        // both sides of the candidate self-join read this — cache, or the
+        // signature aggregation chain runs twice
+        .cache()
+      // cand is reused three times below (pairs, candDocs, final join) —
+      // cache it so the signature/banding chain runs once, not three times.
       val cand = bands.as("p").join(bands.as("q"),
           col("p.bi") === col("q.bi") && col("p.bv") === col("q.bv") &&
             col("p.doc_id") < col("q.doc_id"))
         .select(col("p.doc_id").as("a"), col("q.doc_id").as("b")).distinct()
-      cand.join(pairJaccard(sh), Seq("a", "b"))
+        .cache()
+      // The point of LSH: verify ONLY candidate docs — semi-join the shingle
+      // table down to docs that appear in some candidate pair before the
+      // quadratic intersection join.
+      val candDocs = cand.select(col("a").as("doc_id"))
+        .union(cand.select(col("b").as("doc_id"))).distinct()
+      val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      cand.join(pairJaccard(shCand), Seq("a", "b"))
         .filter(col("jaccard") >= NearDupThreshold)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("a", "b")
@@ -256,8 +268,8 @@ object TextQueries {
          |WHERE bit_count(xor(p.sig, q.sig)) <= 3
          |ORDER BY a, b""".stripMargin) { (s, d) =>
       val sh = shinglesDf(s, d)
-      val md5c = md5(col("sh"))
-      val contribs = simhashSigCol(md5c)
+        .withColumn("bits", conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"))
+      val contribs = simhashSigCol(col("bits"))
       val sums = sh.select(col("doc_id") +: contribs: _*)
         .groupBy("doc_id")
         .agg(sum(col("c0")).as("s0"),
@@ -270,6 +282,8 @@ object TextQueries {
         (0 until 4).map(b => struct(lit(b).as("bi"),
           shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("blk"))
         .select(col("doc_id"), col("sig"), col("blk.bi").as("bi"), col("blk.bv").as("bv"))
+        // self-joined below — cache so the signature chain runs once
+        .cache()
       blocks.as("p").join(blocks.as("q"),
           col("p.bi") === col("q.bi") && col("p.bv") === col("q.bv") &&
             col("p.doc_id") < col("q.doc_id"))
