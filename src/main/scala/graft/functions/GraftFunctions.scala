@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for graft's native Catalyst expressions.
+  *
+  * Two paths, same registry:
+  *  - `GraftFunctions.register(spark)` for an existing session (what the
+  *    query pack uses — the driver constructs the session);
+  *  - `GraftExtensions` via `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    for injection at session build time.
+  */
+object GraftFunctions {
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

@@ -23,27 +23,23 @@ import graft.{Q, Tables}
   */
 object SimilarityQueries {
 
-  /** embeddings with the float vector widened to double + its L2 norm. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")))
-
   private def topkCos(s: SparkSession, d: String, sameLabelOnly: Boolean, k: Int): DataFrame = {
-    val corpus = vecs(s, d)
+    graft.functions.GraftFunctions.register(s)
+    val corpus = Tables.embeddings(s, d)
     val queries = corpus.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
-        col("v").as("qv"), col("nrm").as("qn"))
+        col("embedding").as("qe"))
     val joined =
       if (sameLabelOnly)
         corpus.join(broadcast(queries),
           col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
       else
         corpus.crossJoin(broadcast(queries)).filter(col("vec_id") =!= col("qid"))
+    // cosine_sim is graft's codegen'd Catalyst expression — one fused
+    // primitive loop per pair instead of zip_with/aggregate lambdas
+    // (bit-identical accumulation order, so oracle parity holds).
     val scored = joined
-      .withColumn("dot", expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
-      .withColumn("cos_sim", round(col("dot") / (col("qn") * col("nrm")), 4))
+      .withColumn("cos_sim", round(expr("cosine_sim(qe, embedding)"), 4))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("vec_id").as("nid"), col("cos_sim"))
@@ -84,6 +80,16 @@ object SimilarityQueries {
     // ── SIM2: IVF-style probe — search only the query's coarse cluster ─────
     Q("sim2_ivf_topk", cosSql(sameLabelOnly = true, k = 5)) { (s, d) =>
       topkCos(s, d, sameLabelOnly = true, k = 5)
+    },
+
+    // ── SIM3: signed-random-projection LSH ANN (multi-probe). Approximate
+    // by design → no SQL oracle (driver rows-only check); recall vs the
+    // exact top-k is asserted in AnnLshSpec.
+    Q.unchecked("sim3_ann_lsh") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.similarity.AnnLsh.topk(
+        corpus = emb, queries = emb.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 10)
     }
   )
 }

@@ -1,0 +1,66 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate nearest neighbors via signed-random-projection (SRP) LSH.
+  *
+  * Rademacher (±1) hyperplanes drawn from a fixed seed; signature bit p =
+  * sign(v · plane_p); bucket = the P-bit signature. Queries probe their own
+  * bucket plus all buckets at Hamming distance 1 (multi-probe), expressed by
+  * EXPLODING the query side into its P+1 probe buckets and equi-joining on
+  * bucket — a shuffle-on-key join that scales, instead of a bit_count
+  * inequality that would degenerate to nested-loop.
+  *
+  * Scale (100 TB of vectors): the corpus is written bucketed/partitioned by
+  * `bucket`, so a probe reads P+1 partitions instead of the full corpus;
+  * candidates per query drop from N to ~N·(P+1)/2^P, traded against recall.
+  * The exact re-score of candidates uses the codegen'd cosine expression.
+  */
+object AnnLsh {
+
+  /** Deterministic ±1 hyperplanes (Rademacher entries, seed-fixed). */
+  def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  private def dot(vecCol: String, plane: Array[Double]): Column =
+    expr(s"aggregate(zip_with($vecCol, array(${plane.map(v => s"${v}D").mkString(",")}), " +
+      "(x, y) -> x * y), 0D, (a, x) -> a + x)")
+
+  /** Signature/bucket column from the plane set. */
+  def bucketCol(vecCol: String, pls: Array[Array[Double]]): Column =
+    pls.zipWithIndex.map { case (pl, p) =>
+      when(dot(vecCol, pl) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The query's probe set: own bucket + every bucket one bit-flip away. */
+  def probeBuckets(bucket: Column, nPlanes: Int): Column =
+    array(bucket +: (0 until nPlanes).map(p => bucket.bitwiseXOR(lit(1L << p))): _*)
+
+  /** Top-k by exact cosine among LSH candidates.
+    *
+    * @param corpus  (id, vec) rows; vec is array<float>
+    * @param queries (id, vec) rows
+    */
+  def topk(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, nPlanes: Int = 6, seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val pls = planes(nPlanes, corpus.select(size(col(vecCol))).first().getInt(0), seed)
+    val bucketed = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      bucketCol(vecCol, pls).as("bucket"))
+    val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      explode(probeBuckets(bucketCol(vecCol, pls), nPlanes)).as("bucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    bucketed.join(probed, "bucket")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos_sim", round(expr("cosine_sim(qvec, nvec)"), 4))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos_sim"))
+      .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
+  }
+}

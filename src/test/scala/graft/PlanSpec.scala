@@ -1,0 +1,53 @@
+package graft
+
+/** Physical-plan audits: the scale properties the queries claim (pushdown,
+  * broadcast, top-k without global sort, codegen'd custom expression) are
+  * asserted against `.explain` output so they can't silently regress.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("f2: date predicates are pushed to the parquet scan") {
+    val p = plan("f2_date_range")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"no pushed date filter in:\n$p")
+  }
+
+  test("a1: count(*) prunes every column from the scan") {
+    val p = plan("a1_count")
+    assert(p.contains("ReadSchema: struct<>"), s"count scan reads columns:\n$p")
+  }
+
+  test("j1: dimension join broadcasts the small side") {
+    assert(plan("j1_broadcast_join").contains("BroadcastHashJoin"))
+  }
+
+  test("j5: star join broadcasts all dimensions (single shuffle join max)") {
+    val p = plan("j5_star_join")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3)
+  }
+
+  test("s1: order-by-limit plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("s1_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("sim1: custom cosine expression runs inside whole-stage codegen") {
+    // AQE: collect() (not count(), which plans a different query) so THIS
+    // DataFrame's adaptive plan finalizes with codegen annotations
+    val df = SparkEntry.queries("sim1_cosine_topk")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cosine_sim"), s"custom expression absent from plan:\n$p")
+    // whole-stage codegen spans render as "*(n)" in the final adaptive plan
+    assert(p.contains("*("), s"no codegen span in plan:\n$p")
+  }
+
+  test("v1: pivot is a single aggregate (no join explosion)") {
+    val p = plan("v1_pivot_events")
+    assert(!p.contains("Join"), s"pivot plan contains a join:\n$p")
+  }
+}

@@ -18,7 +18,8 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle (or is explicitly unchecked)") {
+    val unchecked = Set("sim3_ann_lsh") // approximate by design
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+    assert(missing == unchecked, s"queries without oracle SQL: $missing")
   }
 }
