@@ -61,4 +61,29 @@ object InsightsSource {
     }
     ReadResult(ranged, failures)
   }
+
+  /** DataSource V2 path (graft.sources.InsightsV2Source): one partition per
+    * account on executors, with column pruning and date-filter pushdown into
+    * the reader. Same rows as [[read]]; this is the form that scales past
+    * driver memory. Date predicates are plain filters here — Catalyst pushes
+    * them into the source (see InsightsV2SourceSpec's plan assertion).
+    */
+  def readV2(
+      spark: SparkSession,
+      fixtureDir: String,
+      accounts: Seq[String],
+      dateStart: Option[String] = None,
+      dateStop: Option[String] = None): DataFrame = {
+    val df = spark.read.format("graft.sources.InsightsV2Source")
+      .option("path", fixtureDir)
+      .option("accounts", accounts.mkString(","))
+      .load()
+    val ranged = (dateStart, dateStop) match {
+      case (Some(s0), Some(s1)) => df.filter(col("date_start").between(s0, s1))
+      case (Some(s0), None)     => df.filter(col("date_start") >= s0)
+      case (None, Some(s1))     => df.filter(col("date_start") <= s1)
+      case _                    => df
+    }
+    ranged
+  }
 }

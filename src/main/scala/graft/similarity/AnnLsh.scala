@@ -55,12 +55,17 @@ object AnnLsh {
       bucketCol(vecCol, pls).as("bucket"))
     val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       explode(probeBuckets(bucketCol(vecCol, pls), nPlanes)).as("bucket"))
-    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    // Bounded top-k aggregate (graft.functions.TopKAggregator): partials
+    // combine map-side, so the shuffle carries O(queries x k) rows, not
+    // every scored candidate — the window/rank formulation would sort and
+    // shuffle them all.
     bucketed.join(probed, "bucket")
       .filter(col("nid") =!= col("qid"))
       .withColumn("cos_sim", round(expr("cosine_sim(qvec, nvec)"), 4))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), col("cos_sim"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKAggregator.topK(k)(col("cos_sim"), col("nid")).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("nid"), col("t.score").as("cos_sim"))
       .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
   }
 }
