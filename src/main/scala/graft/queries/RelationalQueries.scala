@@ -344,6 +344,99 @@ object RelationalQueries {
         col("n_name"), lit(1.5).as("new_metric"))
       oldBatch.unionByName(newBatch, allowMissingColumns = true)
         .orderBy("n_nationkey")
+    },
+
+    // ── AGG3: cube — all grouping-set combinations ─────────────────────────
+    Q("agg3_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       count(*) AS n, round(avg(l_discount), 4) AS avg_disc
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin) { (s, d) =>
+      lineitem(s, d).cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(avg(col("l_discount")), 4).as("avg_disc"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("avg_disc"))
+        .orderBy("rflag", "lstatus")
+    },
+
+    // ── W3: lag + moving average over a total frame order. The average runs
+    // over exact integer cents: engines differ in sliding-window accumulator
+    // arithmetic (ulp drift flips values sitting exactly on a .xx5 rounding
+    // boundary), and integer sums are drift-free.
+    Q("w3_moving_avg",
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       round(coalesce(lag(o_totalprice) OVER w, 0), 2) AS prev_price,
+        |       round(round(avg(CAST(round(o_totalprice * 100) AS BIGINT))
+        |             OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 0) / 100.0, 2)
+        |         AS moving_avg
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(0)), 2).as("prev_price"),
+        round(round(avg(cents).over(w.rowsBetween(-2, Window.currentRow)), 0) / 100.0, 2)
+          .as("moving_avg"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ── J6: as-of join — for each event, the latest order of the same
+    // customer at or before the event time. Composed from built-ins via the
+    // union + last(ignoreNulls) window trick (SURVEY §7.3 preference (a)):
+    // tag both streams, order by (time, orders-first, key), carry the last
+    // order key forward. One shuffle on the join key — no range-join
+    // explosion. Same formulation in DuckDB.
+    Q("j6_asof_join",
+      """WITH tagged AS (
+        |  SELECT o_custkey AS k, o_orderdate AS t, o_orderkey AS okey,
+        |         NULL::BIGINT AS event_id, 1 AS is_order FROM orders
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL, event_id, 0 FROM events),
+        |carried AS (
+        |  SELECT k, t, event_id, is_order,
+        |         last_value(okey IGNORE NULLS) OVER (
+        |           PARTITION BY k ORDER BY t, is_order DESC, okey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_okey
+        |  FROM tagged)
+        |SELECT event_id, asof_okey FROM carried WHERE is_order = 0
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val o = orders(s, d).select(col("o_custkey").as("k"),
+        col("o_orderdate").as("t"), col("o_orderkey").as("okey"),
+        lit(null).cast("long").as("event_id"), lit(1).as("is_order"))
+      val e = events(s, d).select(col("user_id").as("k"),
+        col("ts").as("t"), lit(null).cast("long").as("okey"),
+        col("event_id"), lit(0).as("is_order"))
+      val w = Window.partitionBy("k")
+        .orderBy(col("t"), col("is_order").desc, col("okey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.unionByName(e)
+        .withColumn("asof_okey", last(col("okey"), ignoreNulls = true).over(w))
+        .filter(col("is_order") === 0)
+        .select(col("event_id"), col("asof_okey"))
+        .orderBy("event_id")
+    },
+
+    // ── S2: scalar string-function surface in one pass ─────────────────────
+    Q("s2_string_funcs",
+      """SELECT c_custkey,
+        |       upper(c_mktsegment) AS seg_upper,
+        |       substr(c_name, 1, 8) AS name_prefix,
+        |       length(c_name) AS name_len,
+        |       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |       CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one,
+        |       strpos(c_name, '#') AS hash_pos
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).select(col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).as("name_len"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        when(col("c_name").like("%1%"), 1).otherwise(0).as("has_one"),
+        instr(col("c_name"), "#").as("hash_pos"))
+        .orderBy("c_custkey")
     }
   )
 }
