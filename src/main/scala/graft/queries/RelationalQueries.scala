@@ -403,6 +403,34 @@ object RelationalQueries {
         |  FROM tagged)
         |SELECT event_id, asof_okey FROM carried WHERE is_order = 0
         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      // runs on the CUSTOM physical operator (graft.plans.AsOfJoin:
+      // LogicalPlan + Strategy + sorted-merge SparkPlan) — oracle-gated
+      // here; AsOfJoinSpec proves it equal to the union+window formulation
+      graft.plans.AsOfJoin(events(s, d), orders(s, d),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightTieBreak = Seq("o_orderkey"))
+        .select(col("event_id"), col("o_orderkey").as("asof_okey"))
+        .orderBy("event_id")
+    },
+
+    // ── J6b: the same as-of join composed from built-ins (union + carry-
+    // forward window) — SURVEY §7.3 preference (a), kept oracle-checked as
+    // the portable formulation.
+    Q("j6b_asof_window",
+      """WITH tagged AS (
+        |  SELECT o_custkey AS k, o_orderdate AS t, o_orderkey AS okey,
+        |         NULL::BIGINT AS event_id, 1 AS is_order FROM orders
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL, event_id, 0 FROM events),
+        |carried AS (
+        |  SELECT k, t, event_id, is_order,
+        |         last_value(okey IGNORE NULLS) OVER (
+        |           PARTITION BY k ORDER BY t, is_order DESC, okey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_okey
+        |  FROM tagged)
+        |SELECT event_id, asof_okey FROM carried WHERE is_order = 0
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
       val o = orders(s, d).select(col("o_custkey").as("k"),
         col("o_orderdate").as("t"), col("o_orderkey").as("okey"),
         lit(null).cast("long").as("event_id"), lit(1).as("is_order"))

@@ -20,6 +20,17 @@ class BucketingSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("same-key bucketed tables join without any Exchange") {
+    // getOrCreate may reuse another suite's session (different warehouse
+    // dir), and stale table LOCATIONS survive JVM restarts while the
+    // in-memory catalog forgets them — drop both
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      Seq("/root/repo/spark-warehouse", "/root/repo/target/spark-warehouse")
+        .foreach(w => org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$w/$t")))
+    }
+    // runtime conf: the builder config is ignored when a session is reused
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val o = spark.read.parquet(s"$sf/orders.parquet")
       .withColumnRenamed("o_orderkey", "l_orderkey")
