@@ -447,6 +447,64 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // ── SO1: intersect — customers active in both segments of the year ─────
+    Q("so1_intersect",
+      """SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      val cut = lit("1998-01-01").cast("timestamp")
+      o.filter(col("o_orderdate") < cut).select("o_custkey")
+        .intersect(o.filter(col("o_orderdate") >= cut).select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // ── SO2: except — customers who never bought after the cutoff ──────────
+    Q("so2_except",
+      """SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = orders(s, d)
+      val cut = lit("1998-01-01").cast("timestamp")
+      o.filter(col("o_orderdate") < cut).select("o_custkey")
+        .except(o.filter(col("o_orderdate") >= cut).select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // ── J7: left outer join — every customer, matched or not ───────────────
+    Q("j7_left_outer",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       round(coalesce(sum(o_totalprice), 0), 2) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0)), 2).as("total"))
+        .orderBy("c_custkey")
+    },
+
+    // ── J8: full outer join over two aggregate views ───────────────────────
+    Q("j8_full_outer",
+      """WITH ship AS (SELECT l_suppkey AS k, count(*) AS n_ship FROM lineitem GROUP BY 1),
+        |acct AS (SELECT s_suppkey AS k, round(s_acctbal, 2) AS bal FROM supplier)
+        |SELECT coalesce(ship.k, acct.k) AS k, coalesce(n_ship, 0) AS n_ship,
+        |       coalesce(bal, 0) AS bal
+        |FROM ship FULL OUTER JOIN acct ON ship.k = acct.k
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val ship = lineitem(s, d).groupBy(col("l_suppkey").as("k"))
+        .agg(count(lit(1)).as("n_ship"))
+      val acct = supplier(s, d).select(col("s_suppkey").as("k2"),
+        round(col("s_acctbal"), 2).as("bal"))
+      ship.join(acct, col("k") === col("k2"), "full_outer")
+        .select(coalesce(col("k"), col("k2")).as("k"),
+          coalesce(col("n_ship"), lit(0)).as("n_ship"),
+          coalesce(col("bal"), lit(0)).as("bal"))
+        .orderBy("k")
+    },
+
     // ── S2: scalar string-function surface in one pass ─────────────────────
     Q("s2_string_funcs",
       """SELECT c_custkey,
