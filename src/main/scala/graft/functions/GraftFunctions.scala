@@ -15,7 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))))
+    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "rolling_hash" -> (exprs => RollingHash(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -30,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
   }
 }

@@ -82,6 +82,36 @@ object SimilarityQueries {
       topkCos(s, d, sameLabelOnly = true, k = 5)
     },
 
+    // ── DD5: embedding-cosine near-duplicate pairs. Brute-force exact pass
+    // with the codegen'd expression; the threshold is corpus-relative (no
+    // planted vector dups — max pairwise cosine here is ~0.5). At scale the
+    // candidate pairs come from sim3's LSH buckets and this predicate is the
+    // verification step.
+    Q("dd5_embedding_neardup",
+      """WITH n AS (SELECT vec_id, sqrt(sum(CAST(embedding[r.range+1] AS DOUBLE)
+        |                                   * CAST(embedding[r.range+1] AS DOUBLE))) AS nrm
+        |           FROM embeddings, range(64) r GROUP BY vec_id),
+        |d AS (SELECT a.vec_id AS i, b.vec_id AS j,
+        |             sum(CAST(a.embedding[r.range+1] AS DOUBLE)
+        |                 * CAST(b.embedding[r.range+1] AS DOUBLE)) AS dot
+        |      FROM embeddings a, embeddings b, range(64) r
+        |      WHERE a.vec_id < b.vec_id GROUP BY 1, 2)
+        |SELECT i, j, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+        |FROM d JOIN n na ON na.vec_id = i JOIN n nb ON nb.vec_id = j
+        |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.45
+        |ORDER BY i, j""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val a = Tables.embeddings(s, d).select(col("vec_id").as("i"),
+        col("embedding").as("ea"))
+      val b = Tables.embeddings(s, d).select(col("vec_id").as("j"),
+        col("embedding").as("eb"))
+      a.join(b, col("i") < col("j"))
+        .withColumn("cos_sim", round(expr("cosine_sim(ea, eb)"), 4))
+        .filter(col("cos_sim") >= 0.45)
+        .select("i", "j", "cos_sim")
+        .orderBy("i", "j")
+    },
+
     // ── SIM3: signed-random-projection LSH ANN (multi-probe). Approximate
     // by design → no SQL oracle (driver rows-only check); recall vs the
     // exact top-k is asserted in AnnLshSpec.

@@ -182,6 +182,24 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ── T5: rolling-hash fingerprint — graft's second custom codegen'd
+    // Expression (graft.functions.RollingHash); the oracle rebuilds the
+    // identical fold from ord() code points with list_reduce.
+    Q("t5_rolling_hash",
+      """WITH t AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+        |           FROM documents),
+        |c AS (SELECT doc_id, r.range AS i,
+        |             CAST(ord(substr(nt, r.range + 1, 1)) AS BIGINT) AS code
+        |      FROM t, range(2048) r WHERE r.range < length(nt)),
+        |l AS (SELECT doc_id, list(code ORDER BY i) AS codes FROM c GROUP BY doc_id)
+        |SELECT doc_id, list_reduce(codes, (a, x) -> (a * 31 + x) % 4294967296) AS rh
+        |FROM l ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).select(col("doc_id"),
+        expr("rolling_hash(lower(trim(regexp_replace(text, '\\\\s+', ' '))))").as("rh"))
+        .orderBy("doc_id")
+    },
+
     // ── DD1: exact dedup via content-hash groupBy (keeper = min id) ────────
     Q("dd1_exact_dedup",
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies

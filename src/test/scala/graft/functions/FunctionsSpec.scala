@@ -22,6 +22,17 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(got(2) - 24.0 / 25.0) < 1e-12)
   }
 
+  test("rolling_hash: fold semantics, codegen path matches interpreted") {
+    GraftFunctions.register(spark)
+    assert(RollingHash.hash("") == 0L)
+    assert(RollingHash.hash("a") == 'a'.toLong)
+    assert(RollingHash.hash("ab") == (('a' * 31 + 'b') & 0xFFFFFFFFL))
+    val got = Seq("", "a", "ab", "spark rolling hash").toDF("s")
+      .select(expr("rolling_hash(s)")).as[Long].collect()
+    assert(got.toSeq == Seq("", "a", "ab", "spark rolling hash")
+      .map(RollingHash.hash))
+  }
+
   test("top-k aggregator equals the window formulation") {
     val li = Tables.lineitem(spark, sf)
     val viaAgg = li.groupBy("l_suppkey")
