@@ -69,6 +69,57 @@ object Pipelines {
     JobResult("success", s"loaded $loaded rows, table now $total rows", loaded)
   }
 
+  /** Daily sync as an INCREMENTAL streaming job: the landing zone consumed
+    * as a file stream, each micro-batch deduped/pivoted/appended via
+    * foreachBatch, Trigger.AvailableNow to drain-and-stop. This is the
+    * Spark-native form of the reference's scheduler-triggered batch
+    * (SURVEY §1.2): re-running picks up only NEW fixture files (checkpointed
+    * source offsets), giving exactly-once file consumption instead of
+    * max-instances=1 discipline.
+    *
+    * Note: action columns are pinned from the batch-visible data at start
+    * (the streaming plan needs a fixed schema); novel action types landing
+    * mid-stream surface on the next run — same cadence as the reference,
+    * which re-reads the table schema per run.
+    */
+  def dailySyncStreaming(
+      spark: SparkSession,
+      fixtureDir: String,
+      accounts: Seq[String],
+      tablePath: String,
+      checkpointDir: String): JobResult = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val batchRead = InsightsSource.read(spark, fixtureDir, accounts)
+    val actionTypes = AdOps.collectActionTypes(batchRead.data)
+    // lineage comes from the file path (raw records don't carry it):
+    // account id parsed from the name, ingest position from the list order
+    val idxMap = map(accounts.zipWithIndex.flatMap {
+      case (a, i) => Seq(lit(a), lit(i))
+    }: _*)
+    val stream = spark.readStream
+      .schema(AdSchema.rawSchema)
+      .option("pathGlobFilter", "account_*.jsonl")
+      .json(fixtureDir)
+      .withColumn("account_id",
+        regexp_extract(input_file_name(), "account_([^/.]+)\\.jsonl", 1))
+      .withColumn("account_idx",
+        coalesce(try_element_at(idxMap, col("account_id")), lit(Int.MaxValue)))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val withLineage = batch
+        val deduped = AdOps.dedupFirstWins(withLineage)
+        val flat = AdOps.flattenAndPivot(deduped, actionTypes)
+        Sinks.appendToTable(spark, flat, tablePath): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val n = Sinks.readTable(spark, tablePath).count()
+    JobResult("success", s"streaming sync complete, table has $n rows", n)
+  }
+
   /** S4: most-recent backfill file discovery (`load_csv_to_bq.py:132-148`). */
   def latestBackfillCsv(dir: String): Option[String] = {
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
