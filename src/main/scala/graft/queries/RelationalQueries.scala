@@ -147,6 +147,19 @@ object RelationalQueries {
         .orderBy("k")
     },
 
+    // ── P7: JSON parse + serialize round-trip (main.py:303, 229-233) ───────
+    Q("p7_json_roundtrip",
+      """SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       CAST(to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS BIGINT)))
+        |            AS VARCHAR) AS rt
+        |FROM events ORDER BY k""".stripMargin) { (s, d) =>
+      events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .select(col("k"), to_json(struct(col("k"))).as("rt"))
+        .distinct()
+        .orderBy("k")
+    },
+
     // ── P3: guarded first-element extraction (backfill.py:126-133) ─────────
     Q("p3_extract_first",
       """SELECT doc_id,

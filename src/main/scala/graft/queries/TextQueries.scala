@@ -225,6 +225,29 @@ object TextQueries {
         .orderBy("a", "b")
     },
 
+    // ── DD6: near-dup cluster assignment — pairwise edges (dd2's output)
+    // folded into components via min-label propagation; output maps every
+    // clustered doc to its keeper (component min id). Spark iterates to
+    // fixpoint (graft.dedup.Clusters); the oracle unrolls the same
+    // propagation 40 rounds (≥ max component diameter here).
+    Q("dd6_dedup_clusters",
+      graft.dedup.Clusters.unrolledSql(
+        s"""$shingleCtes,
+           |pairs0 AS MATERIALIZED (
+           |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+           |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2),
+           |pairs AS MATERIALIZED (
+           |  SELECT a, b FROM pairs0
+           |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+           |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $NearDupThreshold)""".stripMargin,
+        rounds = 40)) { (s, d) =>
+      val pairs = pairJaccard(shinglesDf(s, d))
+        .filter(col("jaccard") >= NearDupThreshold)
+        .select("a", "b")
+      graft.dedup.Clusters.assignKeepers(pairs).orderBy("doc_id")
+    },
+
     // ── DD3: MinHash + LSH banding. 8 min-hashes h_i = min(md5(i||'|'||sh))
     // (lexicographic min over hex — a valid hash family both engines share),
     // 4 bands of 2; candidates = pairs colliding on ≥1 band; verified with
