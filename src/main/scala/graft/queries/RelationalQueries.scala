@@ -359,6 +359,17 @@ object RelationalQueries {
         .orderBy("n_nationkey")
     },
 
+    // ── AGG4: HLL sketch distinct — approximate by construction, so the
+    // check is rows-only here and accuracy-vs-exact is asserted in
+    // QueriesSpec (±5%). At 100 TB this replaces the exact distinct's
+    // full shuffle with fixed-size mergeable sketches.
+    Q.unchecked("agg4_approx_distinct") { (s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")
+    },
+
     // ── AGG3: cube — all grouping-set combinations ─────────────────────────
     Q("agg3_cube",
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,

@@ -18,8 +18,17 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle (or is explicitly unchecked)") {
-    val unchecked = Set("sim3_ann_lsh") // approximate by design
+    val unchecked = Set("sim3_ann_lsh", "agg4_approx_distinct") // approximate by design
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == unchecked, s"queries without oracle SQL: $missing")
+  }
+
+  test("HLL approx distinct is within 5% of exact") {
+    SparkEntry.queries("agg4_approx_distinct")(spark, sf).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx $approx vs exact $exact")
+    }
   }
 }

@@ -53,6 +53,14 @@ class AdPipelineSpec extends SparkSpec {
     assert(new java.io.File(audit).listFiles().exists(_.getName.endsWith(".csv")))
   }
 
+  test("flatten + pivot is one shuffle-free projection") {
+    val read = InsightsSource.read(spark, fixtureDir, Seq("a1", "a2"))
+    val flat = AdOps.flattenAndPivot(read.data, AdOps.collectActionTypes(read.data))
+    val plan = flat.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pivot shuffles:\n$plan")
+    assert(!plan.contains("Aggregate"), s"pivot aggregates:\n$plan")
+  }
+
   test("dry run skips the table sink") {
     val table = fresh("ad_data_dry")
     val res = Pipelines.dailySync(spark, fixtureDir, Seq("a1"), table,
