@@ -173,6 +173,13 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ── T6: character-trigram language ID (graft.text.NgramLangId) — the
+    // profile-based n-gram method; t3 keeps the cheaper marker-word variant.
+    Q("t6_lang_ngram", graft.text.NgramLangId.oracleSql) { (s, d) =>
+      graft.text.NgramLangId.predict(s, Tables.documents(s, d))
+        .orderBy("doc_id")
+    },
+
     // ── T4: document fingerprint (md5 of whitespace-normalized text) ───────
     Q("t4_fingerprint",
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

@@ -46,6 +46,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), s"no codegen span in plan:\n$p")
   }
 
+  test("d1: rank-limit pushes partial WindowGroupLimit below the shuffle") {
+    val p = plan("d1_dedup_first_wins")
+    assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$p")
+  }
+
   test("v1: pivot is a single aggregate (no join explosion)") {
     val p = plan("v1_pivot_events")
     assert(!p.contains("Join"), s"pivot plan contains a join:\n$p")

@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# One-command local gate: tests + correctness (DuckDB oracle) + bench smoke.
+# Usage: tools/run_gate.sh [sfDir]   (default /root/testdata/sf0.01)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF="${1:-/root/testdata/sf0.01}"
+
+echo "== sbt test =="
+sbt test 2>&1 | grep -E "Tests: |All tests" || { echo "TESTS FAILED"; exit 1; }
+
+echo "== Verify @$SF =="
+sbt "runMain graft.Verify $SF target/verify_out" > /tmp/graft_verify.log 2>&1
+grep "\[verify\]" /tmp/graft_verify.log || true
+python3 tools/check_oracle.py "$SF" target/verify_out
+
+echo "== Bench smoke @sf0.001 =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 sbt "runMain graft.Bench" 2>/dev/null \
+  | grep '"metric"'
