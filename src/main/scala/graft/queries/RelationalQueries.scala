@@ -471,6 +471,43 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // ── W4: rank-function family over one total order ──────────────────────
+    Q("w4_rank_funcs",
+      """SELECT o_orderkey,
+        |       rank() OVER w AS rnk,
+        |       dense_rank() OVER w AS drnk,
+        |       round(percent_rank() OVER w, 6) AS prnk,
+        |       ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d).select(col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    },
+
+    // ── F3: null construction + null-aware counting/equality ───────────────
+    Q("f3_null_handling",
+      """SELECT c_mktsegment,
+        |       count(*) AS n_total,
+        |       count(nullif(c_mktsegment, 'BUILDING')) AS n_not_building,
+        |       count(CASE WHEN c_acctbal < 0 THEN 1 END) AS n_negative,
+        |       sum(CASE WHEN c_mktsegment IS NOT DISTINCT FROM 'BUILDING'
+        |                THEN 1 ELSE 0 END) AS n_building_nullsafe
+        |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      customer(s, d).groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_total"),
+          count(nullif(col("c_mktsegment"), lit("BUILDING"))).as("n_not_building"),
+          count(when(col("c_acctbal") < 0, 1)).as("n_negative"),
+          sum(when(col("c_mktsegment") <=> "BUILDING", 1).otherwise(0))
+            .as("n_building_nullsafe"))
+        .orderBy("c_mktsegment")
+    },
+
     // ── SO1: intersect — customers active in both segments of the year ─────
     Q("so1_intersect",
       """SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
