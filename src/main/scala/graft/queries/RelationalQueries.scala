@@ -370,6 +370,21 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // ── AGG5: exact interpolated percentiles (both engines use the R-7
+    // linear-interpolation convention; rounded to absorb ulp drift) ────────
+    Q("agg5_percentiles",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+        |       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med_price"))
+        .orderBy("l_returnflag")
+    },
+
     // ── AGG3: cube — all grouping-set combinations ─────────────────────────
     Q("agg3_cube",
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,

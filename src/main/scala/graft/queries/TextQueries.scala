@@ -66,6 +66,18 @@ object TextQueries {
       .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
   }
 
+  /** Full-corpus pair table, memoized like the shingles (dd2 and dd6 both
+    * consume it in one driver session — the inverted-index join runs once).
+    */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def allPairsDf(s: SparkSession, d: String): DataFrame = {
+    val df = pairCache.getOrElseUpdate((s, d), pairJaccard(shinglesDf(s, d)))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+    df
+  }
+
   /** Shared DuckDB CTEs: tokens -> distinct 3-gram shingles -> set sizes.
     * `range(1024)` is a constant-table cross join (DuckDB 1.0 has no lateral
     * range); 1024 bounds tokens/doc, far above the corpus max.
@@ -226,7 +238,7 @@ object TextQueries {
          |FROM pairs JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
          |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $NearDupThreshold
          |ORDER BY a, b""".stripMargin) { (s, d) =>
-      pairJaccard(shinglesDf(s, d))
+      allPairsDf(s, d)
         .filter(col("jaccard") >= NearDupThreshold)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("a", "b")
@@ -249,7 +261,7 @@ object TextQueries {
            |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
            |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $NearDupThreshold)""".stripMargin,
         rounds = 40)) { (s, d) =>
-      val pairs = pairJaccard(shinglesDf(s, d))
+      val pairs = allPairsDf(s, d)
         .filter(col("jaccard") >= NearDupThreshold)
         .select("a", "b")
       graft.dedup.Clusters.assignKeepers(pairs).orderBy("doc_id")

@@ -41,6 +41,10 @@ object NgramLangId {
         "CASE WHEN length(t) >= 3 THEN " +
           "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) " +
           "ELSE array() END")).as("tri"))
+      // literal pre-filter to the profile vocabulary BEFORE the distinct:
+      // the join would drop non-profile trigrams anyway, so this is
+      // semantics-free and shrinks the distinct's shuffle ~50x
+      .filter(col("tri").isin(profiles.map(_._2).distinct: _*))
       .distinct()
     val scores = tris.join(broadcast(profileDf), "tri")
       .groupBy("doc_id", "lang").agg(count(lit(1)).as("score"))
