@@ -69,6 +69,17 @@ object MediaPipeline {
       .mapPartitions(_.map { case (id, bytes) => DecodeStub.decode(id, bytes) })
   }
 
+  /** Resize stage (stub codec): recompute metadata for a target box while
+    * preserving aspect ratio — pure column arithmetic over the typed
+    * metadata, no payload touch until the real codec slots in.
+    */
+  def resize(features: Dataset[MediaFeatures], maxDim: Int): DataFrame =
+    features.toDF().withColumn("scale",
+      least(lit(1.0), lit(maxDim) / greatest(col("width"), col("height"))))
+      .withColumn("out_width", ceil(col("width") * col("scale")).cast("int"))
+      .withColumn("out_height", ceil(col("height") * col("scale")).cast("int"))
+      .drop("scale")
+
   /** Frame-sample shape for video-like payloads: chunk the payload into
     * fixed-size "frames" and keep every `stride`-th — pure column ops, no
     * UDF (array slicing over the binary).

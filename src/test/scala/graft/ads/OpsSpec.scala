@@ -62,6 +62,45 @@ class OpsSpec extends SparkSpec {
     })
   }
 
+  test("pivot round-trip: exploding the wide row recovers the actions (up to zero-fill)") {
+    val fixtureDir = Fixtures.write()
+    val raw = InsightsSource.read(spark, fixtureDir, Seq("a1", "a2")).data
+    val types = AdOps.collectActionTypes(raw)
+    val flat = AdOps.flattenAndPivot(raw, types)
+    // sum of pivoted action columns == sum of raw action values (last-wins
+    // per (record, type), zero-filled elsewhere)
+    val pivotSum = flat.select(types.map(t =>
+      sum(col(AdOps.normalizeActionName(t))).as(t)): _*).collect()(0)
+    val rawLastWins = raw.select(explode(expr(
+      "map_entries(map_from_entries(transform(actions, a -> struct(a.action_type, a.value))))"
+    )).as("e"))
+      .select(col("e.key").as("t"), col("e.value").cast("long").as("v"))
+      .groupBy("t").agg(sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    types.zipWithIndex.foreach { case (t, i) =>
+      assert(pivotSum.getLong(i) == rawLastWins.getOrElse(t, 0L), s"mismatch for $t")
+    }
+  }
+
+  test("dedup result is invariant to account list order (after explicit ingest order)") {
+    val fixtureDir = Fixtures.write()
+    val fwd = AdOps.dedupFirstWins(
+      InsightsSource.read(spark, fixtureDir, Seq("a1", "a2")).data)
+    val rev = AdOps.dedupFirstWins(
+      InsightsSource.read(spark, fixtureDir, Seq("a2", "a1")).data)
+    // keys are identical either way...
+    val key = AdOps.dedupKey
+    assert(fwd.select(key.map(col): _*).collect().toSet ==
+      rev.select(key.map(col): _*).collect().toSet)
+    // ...and the contested key resolves by the EXPLICIT ingest order, so the
+    // winner follows the account list position (a deliberate, documented
+    // property — the reference's winner depends on Python iteration order)
+    assert(fwd.filter($"campaign_name" === "camp1" && $"ad_name" === "ad1")
+      .select("account_id").as[String].head() == "a1")
+    assert(rev.filter($"campaign_name" === "camp1" && $"ad_name" === "ad1")
+      .select("account_id").as[String].head() == "a2")
+  }
+
   test("alignTo backfills missing columns as typed nulls") {
     val target = StructType(Seq(
       StructField("a", StringType), StructField("b", DoubleType)))

@@ -24,6 +24,16 @@ class MediaPipelineSpec extends SparkSpec {
     assert(rows.forall(r => expected(r.media_id) == r.n_bytes))
   }
 
+  test("resize preserves aspect ratio within the target box") {
+    val media = MediaPipeline.toMediaTable(Tables.documents(spark, sf).limit(20))
+    val resized = MediaPipeline.resize(MediaPipeline.decodeFeatures(media), maxDim = 128)
+    resized.select("width", "height", "out_width", "out_height").collect().foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(ow <= 128 && oh <= 128 && ow >= 1 && oh >= 1)
+      if (math.max(w, h) <= 128) assert(ow == w && oh == h) // no upscale
+    }
+  }
+
   test("frame sampling keeps every stride-th fixed-size chunk") {
     val media = MediaPipeline.toMediaTable(Tables.documents(spark, sf).limit(5))
     val frames = MediaPipeline.frameSample(media, frameBytes = 32, stride = 2)
