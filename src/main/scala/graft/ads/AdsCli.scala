@@ -11,20 +11,9 @@ import org.apache.spark.sql.SparkSession
   */
 object AdsCli {
 
-  private def session(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-ads")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-  }
-
   def main(args: Array[String]): Unit = {
-    val spark = session()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark: SparkSession = graft.GraftSession.build("graft-ads", cpus.toInt)
     try {
       val result = args.toList match {
         case "daily" :: fixtures :: accts :: table :: audit :: rest =>

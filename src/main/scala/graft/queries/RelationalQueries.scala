@@ -581,6 +581,48 @@ object RelationalQueries {
         .orderBy("k")
     },
 
+    // ── S3: datetime-function surface (extract, trunc, diff, add) ──────────
+    Q("s3_datetime_funcs",
+      """SELECT o_orderkey,
+        |       year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS dom,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |       date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002,
+        |       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS plus_90d
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .as("days_to_2002"),
+        date_format(col("o_orderdate") + expr("INTERVAL 90 DAYS"), "yyyy-MM-dd")
+          .as("plus_90d"))
+        .orderBy("o_orderkey")
+    },
+
+    // ── S4: math-function surface in one pass ──────────────────────────────
+    Q("s4_math_funcs",
+      """SELECT c_custkey,
+        |       round(abs(c_acctbal), 2) AS abs_bal,
+        |       CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+        |       CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+        |       sign(c_acctbal) AS sgn,
+        |       round(sqrt(abs(c_acctbal)), 4) AS sqrt_bal,
+        |       round(ln(abs(c_acctbal) + 1), 4) AS ln_bal,
+        |       round(pow(c_custkey % 10, 2), 1) AS sq_digit
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).select(col("c_custkey"),
+        round(abs(col("c_acctbal")), 2).as("abs_bal"),
+        ceil(col("c_acctbal")).cast("long").as("ceil_bal"),
+        floor(col("c_acctbal")).cast("long").as("floor_bal"),
+        signum(col("c_acctbal")).as("sgn"),
+        round(sqrt(abs(col("c_acctbal"))), 4).as("sqrt_bal"),
+        round(log(abs(col("c_acctbal")) + 1), 4).as("ln_bal"),
+        round(pow(col("c_custkey") % 10, 2), 1).as("sq_digit"))
+        .orderBy("c_custkey")
+    },
+
     // ── S2: scalar string-function surface in one pass ─────────────────────
     Q("s2_string_funcs",
       """SELECT c_custkey,
