@@ -270,22 +270,25 @@ object RelationalQueries {
         .orderBy("r_name", "n_name")
     },
 
-    // ── W1: running sum window. Frame order is total (unique key suffix), so
-    // the sequential accumulation order — and thus the rounded double — is
-    // identical in both engines.
+    // ── W1: running sum window. The frame order must be TOTAL down to exact
+    // duplicates — (shipdate, orderkey, linenumber) collides at sf0.1, so
+    // price and partkey join the ordering; remaining ties are full
+    // duplicates whose outputs form the same multiset either way. The final
+    // ORDER BY includes `running` so even those rows order identically.
     Q("w1_window_running",
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |       round(sum(l_extendedprice) OVER (
         |         PARTITION BY l_suppkey
-        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_partkey
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
-        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice", "l_partkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         round(sum(col("l_extendedprice")).over(w), 2).as("running"))
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running")
     },
 
     // ── W2: top-N per group via rank ───────────────────────────────────────
