@@ -31,6 +31,10 @@ object Bench {
     spark.catalog.clearCache()
 
     val results = selected.map { case (name, fn) =>
+      // accumulated broadcast/shuffle state from ~60 prior queries inflates
+      // later measurements 2-3x in a single local JVM; a GC between queries
+      // keeps each measurement about the query, not the backlog
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
