@@ -526,6 +526,45 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     },
 
+    // ── S5: array-function surface (split → sort/distinct/slice/contains);
+    // arrays are rendered via concat_ws so the compare stays scalar.
+    Q("s5_array_funcs",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |       len(toks) AS n,
+        |       len(list_distinct(toks)) AS n_distinct,
+        |       array_to_string(list_sort(list_distinct(toks))[1:5], ' ') AS first5_sorted,
+        |       CAST(list_contains(toks, 'spark') AS INT) AS has_spark
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          concat_ws(" ", slice(sort_array(array_distinct(col("toks"))), 1, 5))
+            .as("first5_sorted"),
+          array_contains(col("toks"), "spark").cast("int").as("has_spark"))
+        .orderBy("doc_id")
+    },
+
+    // ── U2: multi-day union (backfill.py:212-230): day-sliced reads
+    // concatenated then aggregated back per day.
+    Q("u2_multi_day_union",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d, count(*) AS n FROM (
+        |  SELECT ts FROM events WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-05'
+        |  UNION ALL SELECT ts FROM events WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-06'
+        |  UNION ALL SELECT ts FROM events WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-07'
+        |) GROUP BY 1 ORDER BY d""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      def day(dt: String) =
+        ev.filter(date_trunc("day", col("ts")) === lit(dt).cast("timestamp")).select("ts")
+      day("2024-01-05").unionByName(day("2024-01-06")).unionByName(day("2024-01-07"))
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("d")
+    },
+
     // ── SO1: intersect — customers active in both segments of the year ─────
     Q("so1_intersect",
       """SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
