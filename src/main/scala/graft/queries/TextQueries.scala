@@ -205,6 +205,41 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ── SP1: deterministic uniform 10% sample (graft.operators.Sampling):
+    // the keep decision is a pure function of md5(doc_id), so both engines
+    // select the exact same rows — the reproducible form of corpus
+    // sampling (rand() can never hash-match).
+    Q("sp1_hash_sample",
+      """SELECT doc_id, lang FROM documents
+        |WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+        |    < 6553
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.uniform(
+        Tables.documents(s, d), col("doc_id"), 0.1)
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // ── SP2: stratified deterministic sample (per-language rates) ──────────
+    Q("sp2_stratified_sample",
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bkt
+        |  FROM documents)
+        |SELECT doc_id, lang FROM b
+        |WHERE bkt < CASE lang WHEN 'en' THEN 13107 WHEN 'de' THEN 6553 ELSE 3276 END
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.stratified(
+        Tables.documents(s, d), col("doc_id"), col("lang"),
+        rates = Map("en" -> 0.2, "de" -> 0.1), defaultRate = 0.05)
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
     // ── T5: rolling-hash fingerprint — graft's second custom codegen'd
     // Expression (graft.functions.RollingHash); the oracle rebuilds the
     // identical fold from ord() code points with list_reduce.
