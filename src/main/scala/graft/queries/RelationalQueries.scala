@@ -514,8 +514,8 @@ object RelationalQueries {
         |       count(*) AS n_total,
         |       count(nullif(c_mktsegment, 'BUILDING')) AS n_not_building,
         |       count(CASE WHEN c_acctbal < 0 THEN 1 END) AS n_negative,
-        |       sum(CASE WHEN c_mktsegment IS NOT DISTINCT FROM 'BUILDING'
-        |                THEN 1 ELSE 0 END) AS n_building_nullsafe
+        |       CAST(sum(CASE WHEN c_mktsegment IS NOT DISTINCT FROM 'BUILDING'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_building_nullsafe
         |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
       customer(s, d).groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_total"),
@@ -649,7 +649,7 @@ object RelationalQueries {
         |       round(abs(c_acctbal), 2) AS abs_bal,
         |       CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
         |       CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
-        |       sign(c_acctbal) AS sgn,
+        |       CAST(sign(c_acctbal) AS DOUBLE) AS sgn,
         |       round(sqrt(abs(c_acctbal)), 4) AS sqrt_bal,
         |       round(ln(abs(c_acctbal) + 1), 4) AS ln_bal,
         |       round(pow(c_custkey % 10, 2), 1) AS sq_digit

@@ -36,7 +36,7 @@ object TextQueries {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def shinglesDf(s: SparkSession, d: String): DataFrame = {
+  def shinglesDf(s: SparkSession, d: String): DataFrame = {
     val df = shingleCache.getOrElseUpdate((s, d),
       tokensDf(s, d)
         .filter(size(col("toks")) >= 3)
@@ -57,8 +57,16 @@ object TextQueries {
 
   /** Exact pairwise shingle-set Jaccard via inverted-index self-join.
     * Returns (a, b, inter, sza, szb, jaccard) for pairs sharing ≥1 shingle.
+    *
+    * `maxShingleDf` caps shingle document frequency: a shingle present in
+    * more than `maxShingleDf` documents is dropped from the index BEFORE the
+    * self-join (the standard guard at scale — one hot shingle like
+    * "the end of the" otherwise produces a quadratic join group). The cap
+    * applies to the whole stage (sizes included), i.e. the semantics become
+    * "Jaccard over shingles rarer than the cap". `None` = exact.
     */
-  private def pairJaccard(sh: DataFrame): DataFrame = {
+  def pairJaccard(sh0: DataFrame, maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = maxShingleDf.fold(sh0)(capShingleDf(sh0, _))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
@@ -68,6 +76,17 @@ object TextQueries {
       .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
       .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
       .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
+  }
+
+  /** Drop shingles whose document frequency exceeds `maxDf`. The hot set is
+    * tiny by construction (only shingles shared by > maxDf docs), so the
+    * anti-join broadcasts; join-group size in any downstream inverted-index
+    * self-join is then bounded by `maxDf`.
+    */
+  def capShingleDf(sh: DataFrame, maxDf: Int): DataFrame = {
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    sh.join(broadcast(hot), Seq("sh"), "left_anti")
   }
 
   /** Full-corpus pair table, memoized like the shingles (dd2 and dd6 both
@@ -352,14 +371,18 @@ object TextQueries {
             col("p.doc_id") < col("q.doc_id"))
         .select(col("p.doc_id").as("a"), col("q.doc_id").as("b")).distinct()
         .cache()
-      // Verification = inner join of candidates against the exact pair
-      // table (already memoized session-wide for dd2/dd6 — one cached
-      // lookup here; a band collision between docs sharing no shingle has
-      // no pair row and correctly drops). At 100 TB, where materializing
-      // all pairs is off the table, this join is replaced by the
-      // candidate-restricted intersection: semi-join shingles to candidate
-      // docs, then pairJaccard over that slice.
-      cand.join(allPairsDf(s, d), Seq("a", "b"))
+      // Verification is candidate-restricted: semi-join the shingle index
+      // down to docs that appear in some candidate pair, run the exact
+      // Jaccard intersection over that slice only, then keep candidate
+      // pairs clearing the threshold. (A band collision between docs
+      // sharing no shingle produces no pair row and correctly drops.) The
+      // full all-pairs table never materializes — the verification join
+      // input is O(|candidate docs|), not O(|corpus|), which is the whole
+      // point of LSH at 100 TB.
+      val candDocs = cand.select(col("a").as("doc_id"))
+        .union(cand.select(col("b").as("doc_id"))).distinct()
+      val shSlice = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      cand.join(pairJaccard(shSlice), Seq("a", "b"))
         .filter(col("jaccard") >= NearDupThreshold)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("a", "b")

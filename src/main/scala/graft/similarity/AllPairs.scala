@@ -1,0 +1,52 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact all-pairs cosine similarity via a BLOCKED equi-join.
+  *
+  * Exact near-dup at a corpus-relative threshold is inherently O(N²) in
+  * compute, but the *plan* must not be a nested-loop cartesian (which
+  * broadcasts one full side to every task and degenerates at scale). Here
+  * each vector gets a deterministic block id; the left side fans out to the
+  * block pairs it participates in; the join is an EQUI-join on block id, so
+  * it shuffles on key and each task handles one bounded block×block tile —
+  * per-task memory is O(N/nBlocks), never O(N).
+  *
+  * Measured motivation (synthetic corpus): qualifying pairs start at cosine
+  * 0.4501 while the background distribution's p99.9 is ≈0.377 — an SRP-LSH
+  * per-plane collision gap of only 0.649 vs 0.5, so no (planes, tables)
+  * choice reaches recall 1.0 with real pruning (best observed at sf0.1:
+  * recall 0.97 while still scanning 47% of all pairs). At thresholds this
+  * deep in the background tail the exact blocked scan IS the scale path;
+  * LSH pruning pays off in the high-cosine regime (see
+  * [[AnnLsh.neardupPairs]], spec-gated, recall 1.0 on planted ≥0.95 dups).
+  */
+object AllPairs {
+
+  /** Pairs (i, j, cos_sim) with i < j and rounded cosine ≥ threshold.
+    *
+    * @param nBlocks block count: per-task memory is O(N/nBlocks) vectors;
+    *                size so one block fits an executor core's working set.
+    */
+  def cosinePairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBlocks: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val blk = pmod(crc32(col(idCol).cast("string")), lit(nBlocks)).cast("int")
+    // Left side owns every block pair (ba, bb) with ba <= bb: fan each row
+    // out to the blocks at-or-above its own. Right side keeps one copy.
+    val a = emb.select(col(idCol).as("i"), col(vecCol).as("ea"), blk.as("ba"))
+      .withColumn("bb", explode(expr(s"sequence(ba, ${nBlocks - 1})")))
+    val b = emb.select(col(idCol).as("j"), col(vecCol).as("eb"), blk.as("bj"))
+    // Equi-join on block id; same-block tiles dedupe by id order (each
+    // unordered pair lands in exactly one tile, so cross-block pairs need
+    // no id-order guard — least/greatest normalizes the output instead).
+    a.join(b, col("bb") === col("bj") &&
+        (col("ba") < col("bj") || col("i") < col("j")))
+      .withColumn("cos_sim", round(expr("cosine_sim(ea, eb)"), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select(least(col("i"), col("j")).as("i"),
+        greatest(col("i"), col("j")).as("j"), col("cos_sim"))
+  }
+}

@@ -48,9 +48,12 @@ object AnnLsh {
   def topk(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
-      k: Int, nPlanes: Int = 6, seed: Long = 42L): DataFrame = {
+      k: Int, nPlanes: Int = 6, seed: Long = 42L, dim: Int = -1): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val pls = planes(nPlanes, corpus.select(size(col(vecCol))).first().getInt(0), seed)
+    // dim should come from the caller's schema contract; the first() probe
+    // is a driver action kept only as a convenience fallback.
+    val d = if (dim > 0) dim else corpus.select(size(col(vecCol))).first().getInt(0)
+    val pls = planes(nPlanes, d, seed)
     val bucketed = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
       bucketCol(vecCol, pls).as("bucket"))
     val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
@@ -67,5 +70,44 @@ object AnnLsh {
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.id").as("nid"), col("t.score").as("cos_sim"))
       .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
+  }
+
+  /** Near-duplicate pairs via multi-table SRP LSH (OR-amplification):
+    * `nTables` independent tables of `nPlanes` hyperplanes each; a pair is a
+    * candidate iff its full signatures collide in AT LEAST ONE table;
+    * candidates are deduped as bare (i, j) ids, re-joined to their vectors,
+    * and verified with the exact codegen'd cosine.
+    *
+    * Collision probability per pair is 1-(1-p^P)^L with p = 1-θ/π, so this
+    * prunes hard exactly when near-dups are far from the background (cosine
+    * ≥ ~0.9: recall 1.0 at a few % of all pairs — asserted in
+    * AnnLshSpec on planted duplicates). For thresholds inside the
+    * background tail use [[AllPairs.cosinePairs]] — measured on this corpus,
+    * no configuration separates 0.45 from the 0.377 background p99.9.
+    *
+    * Scale shape: signatures are a narrow map; the candidate join is
+    * shuffle-on-(table, bucket); dedup is a groupBy on (i, j); vectors
+    * travel only for deduped candidates.
+    */
+  def neardupPairs(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      dim: Int, nPlanes: Int = 8, nTables: Int = 16, seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val tables = array((0 until nTables).map { t =>
+      struct(lit(t).as("tb"), bucketCol(vecCol, planes(nPlanes, dim, seed + t)).as("bv"))
+    }: _*)
+    val sigs = emb.select(col(idCol).as("id"), explode(tables).as("s"))
+      .select(col("id"), col("s.tb").as("tb"), col("s.bv").as("bv"))
+    val cand = sigs.as("p").join(sigs.as("q"),
+        col("p.tb") === col("q.tb") && col("p.bv") === col("q.bv") &&
+          col("p.id") < col("q.id"))
+      .select(col("p.id").as("i"), col("q.id").as("j"))
+      .distinct()
+    val va = emb.select(col(idCol).as("i"), col(vecCol).as("ea"))
+    val vb = emb.select(col(idCol).as("j"), col(vecCol).as("eb"))
+    cand.join(va, "i").join(vb, "j")
+      .withColumn("cos_sim", round(expr("cosine_sim(ea, eb)"), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select("i", "j", "cos_sim")
   }
 }

@@ -55,4 +55,17 @@ class PlanSpec extends SparkSpec {
     val p = plan("v1_pivot_events")
     assert(!p.contains("Join"), s"pivot plan contains a join:\n$p")
   }
+
+  test("dd3: LSH verification is candidate-restricted (semi-join, no all-pairs table)") {
+    val p = plan("dd3_minhash_lsh")
+    // the shingle slice fed to Jaccard verification is gated by a semi-join
+    // against candidate doc ids — the full pair table never materializes
+    assert(p.contains("LeftSemi"), s"no candidate-restricting semi-join in:\n$p")
+  }
+
+  test("dd5: exact all-pairs is a blocked equi-join, not a nested-loop cartesian") {
+    val p = plan("dd5_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"dd5 plans as a cartesian:\n$p")
+  }
 }

@@ -63,6 +63,16 @@ def main():
             print(f"FAIL {name}: rows {len(g)} vs oracle {len(x)}")
             n_bad += 1
             continue
+        # Driver hashes rendered values, so int 1 vs float 1.0 is a mismatch
+        # even when numerically equal. Mirror that: dtype *kind* must agree
+        # (signed/unsigned int treated as one family).
+        fam = lambda k: "i" if k in "iu" else k
+        kind_bad = [(c, str(g[c].dtype), str(x[c].dtype)) for c in g.columns
+                    if fam(g[c].dtype.kind) != fam(x[c].dtype.kind)]
+        if kind_bad:
+            print(f"FAIL {name}: rendered-type mismatch {kind_bad}")
+            n_bad += 1
+            continue
         try:
             pd.testing.assert_frame_equal(g, x, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
             print(f"ok   {name} ({len(g)} rows)")
