@@ -61,6 +61,13 @@ object AdSchema {
   val stringCols: Set[String] =
     Set("campaign_name", "ad_name", "publisher_platform", "date_start", "date_stop")
 
+  /** REQUIRED-mode columns (reference `schema.json:2-9`): the identity/date
+    * columns a warehouse row may not lack — BigQuery rejects such rows with
+    * per-row errors; the table sink mirrors that contract.
+    */
+  val requiredCols: Seq[String] =
+    Seq("campaign_name", "ad_name", "publisher_platform", "date_start", "date_stop")
+
   /** Static flat columns in declared order (reference `schema.json:2-17`).
     * Dates stay strings in flight (reference carries `YYYY-MM-DD` strings);
     * the table sink stores a proper DateType partition column beside them.

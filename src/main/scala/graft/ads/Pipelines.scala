@@ -28,11 +28,20 @@ object Pipelines {
     val actionTypes = AdOps.collectActionTypes(deduped)
     val flat = AdOps.flattenAndPivot(deduped, actionTypes)
     Sinks.csvAudit(flat, auditCsvPath)
-    val rows = if (dryRun) flat.count() else Sinks.appendToTable(spark, flat, tablePath)
+    val (rows, rejectNote) =
+      if (dryRun) (flat.count(), "")
+      else {
+        val r = Sinks.appendToTableChecked(spark, flat, tablePath)
+        (r.appended,
+          if (r.rejected == 0) ""
+          else s"; rejected ${r.rejected} rows failing REQUIRED columns: " +
+            r.rowErrors.mkString(" | "))
+      }
     val failNote =
       if (read.failedAccounts.isEmpty) ""
       else s" (failed accounts: ${read.failedAccounts.map(_._1).mkString(", ")})"
-    JobResult(if (dryRun) "dry_run" else "success", s"processed $rows rows$failNote", rows)
+    JobResult(if (dryRun) "dry_run" else "success",
+      s"processed $rows rows$failNote$rejectNote", rows)
   }
 
   /** Backfill (reference `backfill.py:177-291`): ranged read, dedup across
@@ -105,6 +114,10 @@ object Pipelines {
         regexp_extract(input_file_name(), "account_([^/.]+)\\.jsonl", 1))
       .withColumn("account_idx",
         coalesce(try_element_at(idxMap, col("account_id")), lit(Int.MaxValue)))
+      // batch/stream parity: the glob matches EVERY account file in the
+      // landing zone, so restrict to the requested accounts — an unlisted
+      // account's file must not be silently ingested
+      .filter(col("account_id").isInCollection(accounts))
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val withLineage = batch

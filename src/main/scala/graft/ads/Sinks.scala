@@ -1,7 +1,15 @@
 package graft.ads
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, to_date}
+import org.apache.spark.sql.functions._
+
+/** Outcome of a checked table append: rows written, rows rejected by
+  * REQUIRED-column validation, and a bounded sample of per-row error
+  * messages (the engine-side mirror of BigQuery's `insert_rows_json`
+  * per-row error list, reference `main.py:441-447`).
+  */
+final case class AppendResult(
+    appended: Long, rejected: Long, rowErrors: Seq[String])
 
 /** K1-K4: the reference's sinks (SURVEY.md §2.2), parquet/CSV stand-ins for
   * the warehouse.
@@ -26,7 +34,41 @@ object Sinks {
     * so new action columns append as typed NULL-backed columns and old
     * files simply lack them (readers merge footers).
     */
-  def appendToTable(spark: SparkSession, flat: DataFrame, path: String): Long = {
+  def appendToTable(spark: SparkSession, flat: DataFrame, path: String): Long =
+    appendToTableChecked(spark, flat, path).appended
+
+  /** The checked form: rows with a null REQUIRED column (schema.json mode,
+    * [[AdSchema.requiredCols]]) are REJECTED — reported with per-row error
+    * messages and optionally routed to `errorPath` — instead of silently
+    * appended; BigQuery would refuse them row-by-row. Valid rows append
+    * exactly as before.
+    */
+  def appendToTableChecked(
+      spark: SparkSession, flat: DataFrame, path: String,
+      errorPath: Option[String] = None, maxErrorSample: Int = 20): AppendResult = {
+    val required = AdSchema.requiredCols.filter(flat.columns.contains)
+    val errCol = concat_ws("; ", required.map(c =>
+      when(col(c).isNull, lit(s"$c: null value for REQUIRED column"))): _*)
+    val marked = flat.withColumn("_row_errors", errCol).cache()
+    try {
+      val bad = marked.filter(col("_row_errors") =!= "")
+      val good = marked.filter(col("_row_errors") === "").drop("_row_errors")
+      val rejected = bad.count()
+      val sample =
+        if (rejected == 0) Seq.empty
+        else {
+          val ident = required.map(c => concat(lit(s"$c="), coalesce(col(c), lit("NULL"))))
+          bad.select(concat(lit("row["), concat_ws(", ", ident: _*), lit("]: "),
+              col("_row_errors")).as("e"))
+            .limit(maxErrorSample).collect().map(_.getString(0)).toSeq
+        }
+      errorPath.foreach(p => bad.write.mode("append").parquet(p))
+      AppendResult(appendAligned(spark, good, path), rejected, sample)
+    } finally marked.unpersist(): Unit
+  }
+
+  /** Evolution-aware physical append of pre-validated rows. */
+  private def appendAligned(spark: SparkSession, flat: DataFrame, path: String): Long = {
     val withDate = flat.withColumn("p_date", to_date(col("date_start"), "yyyy-MM-dd"))
     val target = SchemaEvolution.tableSchema(spark, path)
       .map(SchemaEvolution.merge(_, withDate.schema))

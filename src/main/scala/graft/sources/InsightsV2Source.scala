@@ -62,6 +62,25 @@ object InsightsV2Source {
       StructField("account_idx", IntegerType)))
 }
 
+/** Error taxonomy of the insights API (reference `main.py:305-339`): body
+  * errors with codes 190/104 are token failures and HTTP 401/403 are
+  * auth/permission failures — all four are FATAL (the reference raises
+  * immediately; retrying an expired token cannot succeed). Timeouts and
+  * transport hiccups are TRANSIENT and retried up to 3 attempts
+  * (`max_retries = 3`, `timeout = 30`).
+  */
+final case class AdsApiError(code: Int, errType: String, message: String)
+    extends RuntimeException(
+      s"Insights API error [$code] ($errType): $message" +
+        (if (AdsApiError.fatalCodes(code)) " [fatal - not retried]" else "")) {
+  def fatal: Boolean = AdsApiError.fatalCodes(code)
+}
+
+object AdsApiError {
+  /** 190/104 = token expired/invalid; 401/403 = unauthorized/forbidden. */
+  val fatalCodes: Set[Int] = Set(190, 104, 401, 403)
+}
+
 private class InsightsTable(path: String, accounts: Seq[String])
     extends Table with SupportsRead {
   require(path != null, "option 'path' is required")
@@ -126,19 +145,101 @@ private class InsightsReaderFactory(schema: StructType, dateFilters: Array[Filte
   }
 }
 
-/** Line-at-a-time reader for one account's record stream. In the remote-API
-  * form this loop is the pagination cursor walk with retries
-  * (`main.py:297-324`); constant memory per page either way.
+/** Paginated reader for one account's record stream — the file stand-in for
+  * the reference's cursor walk with retries (`main.py:297-331`):
+  *
+  *  - PAGES: `account_<id>.page1.jsonl`, `.page2.jsonl`, … are walked in
+  *    order (the cursor is the next page number; after page 1 the "request"
+  *    carries only the cursor, mirroring the reference's `params = {}`
+  *    clear at `main.py:323`). A plain `account_<id>.jsonl` is the
+  *    single-page form. An EMPTY page stops the walk even if later pages
+  *    exist (`if not page: break`, `main.py:314-316`).
+  *  - RETRY: each page fetch is attempted up to 3 times; transient
+  *    IOExceptions (the stand-in for `requests.Timeout`) retry, and tests
+  *    inject them via a `.transient` counter file consumed one failure per
+  *    attempt. In the HTTP form each attempt would also carry the 30 s
+  *    request timeout.
+  *  - ERROR TAXONOMY: a page whose first record is `{"error": {...}}` is an
+  *    API error body; codes 190/104 (token) and 401/403 (auth) raise
+  *    [[AdsApiError]] immediately without retry — retrying an expired token
+  *    cannot succeed (`main.py:305-311, 333-339`).
+  *
+  * Memory is constant per page either way; rows stream line-at-a-time.
   */
 private class InsightsPartitionReader(
     p: AccountPartition, schema: StructType, dateFilters: Array[Filter])
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val source = scala.io.Source.fromFile(s"${p.path}/account_${p.account}.jsonl")
-  private val lines = source.getLines()
+  private val maxRetries = 3
+
+  private val singleFile = new java.io.File(s"${p.path}/account_${p.account}.jsonl")
+  private def pageFile(n: Int) = new java.io.File(s"${p.path}/account_${p.account}.page$n.jsonl")
+
+  private var pageNo = 0 // 0 = single-file form; >0 = the page cursor
+  private var exhausted = false
+  private var lines: Iterator[String] = Iterator.empty
   private var lineNo = -1L
   private var current: InternalRow = _
+
+  /** Fetch one page with the retry loop. Returns None when the cursor is
+    * past the last page (or the single file is absent).
+    */
+  private def fetchPage(f: java.io.File): Option[Seq[String]] = {
+    if (!f.exists()) return None
+    var attempt = 1
+    while (true) {
+      try return Some(fetchOnce(f))
+      catch {
+        case e: AdsApiError if e.fatal => throw e // token/auth: never retried
+        case e @ (_: java.io.IOException | _: AdsApiError) => // transient
+          if (attempt >= maxRetries)
+            throw new java.io.IOException(
+              s"page ${f.getName} failed after $maxRetries attempts", e)
+          attempt += 1
+      }
+    }
+    None // unreachable
+  }
+
+  /** One fetch attempt: honor injected transient failures, read the page,
+    * surface an error body as the classified exception.
+    */
+  private def fetchOnce(f: java.io.File): Seq[String] = {
+    val marker = new java.io.File(f.getPath + ".transient")
+    if (marker.exists()) {
+      val remaining = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toInt
+      if (remaining > 0) {
+        java.nio.file.Files.write(marker.toPath, String.valueOf(remaining - 1).getBytes)
+        throw new java.io.IOException(s"simulated transient failure (${f.getName})")
+      }
+    }
+    val content = scala.io.Source.fromFile(f)
+    val page = try content.getLines().toVector finally content.close()
+    page.find(_.trim.nonEmpty).foreach { first =>
+      val node = mapper.readTree(first)
+      val err = node.get("error")
+      if (err != null && !err.isNull)
+        throw AdsApiError(
+          Option(err.get("code")).map(_.asInt).getOrElse(-1),
+          Option(err.get("type")).map(_.asText).getOrElse("Unknown"),
+          Option(err.get("message")).map(_.asText).getOrElse("Unknown error"))
+    }
+    page
+  }
+
+  /** Advance the page cursor; false when the account stream is done. */
+  private def nextPage(): Boolean = {
+    if (exhausted) return false
+    val page =
+      if (pageNo == 0 && singleFile.exists()) { pageNo = -1; fetchPage(singleFile) }
+      else if (pageNo >= 0) { pageNo += 1; fetchPage(pageFile(pageNo)) }
+      else None
+    page match {
+      case Some(ls) if ls.exists(_.trim.nonEmpty) => lines = ls.iterator; true
+      case _ => exhausted = true; false // empty page or past-the-end: stop
+    }
+  }
 
   private def dateOk(node: JsonNode): Boolean = {
     val d = Option(node.get("date_start")).map(_.asText).getOrElse("")
@@ -151,7 +252,7 @@ private class InsightsPartitionReader(
   }
 
   override def next(): Boolean = {
-    while (lines.hasNext) {
+    while (lines.hasNext || nextPage()) {
       val line = lines.next()
       lineNo += 1
       if (line.trim.nonEmpty) {
@@ -166,7 +267,7 @@ private class InsightsPartitionReader(
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = source.close()
+  override def close(): Unit = ()
 
   /** Materialize ONLY the pruned fields. */
   private def convert(node: JsonNode): InternalRow = {

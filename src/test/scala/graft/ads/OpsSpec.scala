@@ -101,6 +101,26 @@ class OpsSpec extends SparkSpec {
       .select("account_id").as[String].head() == "a2")
   }
 
+  test("sink rejects and reports rows with null REQUIRED columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val df = Seq(
+      (Option("camp1"), "ad1", "facebook", "2024-03-01", "2024-03-01", 10L),
+      (None,            "ad2", "facebook", "2024-03-01", "2024-03-01", 20L), // null campaign
+      (Option("camp3"), "ad3", "facebook", "2024-03-02", "2024-03-02", 30L)
+    ).toDF("campaign_name", "ad_name", "publisher_platform",
+      "date_start", "date_stop", "impressions")
+    val r = Sinks.appendToTableChecked(spark, df, s"$dir/table",
+      errorPath = Some(s"$dir/errors"))
+    assert(r.appended == 2 && r.rejected == 1)
+    assert(r.rowErrors.size == 1 &&
+      r.rowErrors.head.contains("campaign_name: null value for REQUIRED column") &&
+      r.rowErrors.head.contains("ad_name=ad2"))
+    // the bad row is routed, not silently appended
+    assert(Sinks.readTable(spark, s"$dir/table")
+      .filter($"ad_name" === "ad2").count() == 0)
+    assert(spark.read.parquet(s"$dir/errors").count() == 1)
+  }
+
   test("alignTo backfills missing columns as typed nulls") {
     val target = StructType(Seq(
       StructField("a", StringType), StructField("b", DoubleType)))
