@@ -22,8 +22,17 @@ object Pipelines {
       accounts: Seq[String],
       tablePath: String,
       auditCsvPath: String,
-      dryRun: Boolean = false): JobResult = {
-    val read = InsightsSource.read(spark, fixtureDir, accounts)
+      dryRun: Boolean = false,
+      useV2Source: Boolean = false): JobResult = {
+    // V2 = the paginated executor-side DSv2 reader (retries, error taxonomy,
+    // page-cursor walk); the driver-side reader keeps per-account failure
+    // isolation, which DSv2 partitions intentionally don't (a failed account
+    // fails the scan).
+    val read =
+      if (useV2Source)
+        InsightsSource.ReadResult(
+          InsightsSource.readV2(spark, fixtureDir, accounts), Seq.empty)
+      else InsightsSource.read(spark, fixtureDir, accounts)
     val deduped = AdOps.dedupFirstWins(read.data)
     val actionTypes = AdOps.collectActionTypes(deduped)
     val flat = AdOps.flattenAndPivot(deduped, actionTypes)

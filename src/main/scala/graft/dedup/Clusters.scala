@@ -8,23 +8,87 @@ import org.apache.spark.sql.functions._
   * the step that turns pairwise near-dup detection into an actual dedup
   * decision (keep the keeper, drop the rest).
   *
-  * Algorithm: iterative min-label propagation to fixpoint. Each round every
-  * node takes the min of its own label and its neighbors' labels — the
-  * min id floods a component in diameter rounds.
+  * Algorithm: alternating large-star / small-star rounds (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+  * rewires edges toward local minima; the fixpoint is one star per
+  * component, centered at the component min. Convergence is O(log n)
+  * rounds in practice (vs O(diameter) for plain min-label propagation —
+  * a 100-node chain needs 100 propagation rounds but ~7 star rounds).
   *
-  * Scale notes: each round is one shuffle-on-key join + aggregate; lineage
-  * is cut with localCheckpoint so 100 rounds don't build a 100-deep plan.
-  * Near-dup graphs are overwhelmingly tiny components (pairs/triples), so
-  * rounds-to-fixpoint is small in practice; at extreme scale swap the loop
-  * for the large-star/small-star formulation (same join primitive, provably
-  * O(log n) rounds).
+  * Scale notes: both stars are shuffle-on-key groupBy+join primitives (no
+  * collect_list, so a high-degree node never materializes its neighbor
+  * list in one task); lineage is cut per round with localCheckpoint.
   */
 object Clusters {
+
+  /** Large-star: for every node u, connect each STRICTLY LARGER neighbor to
+    * u's smallest incident node m = min(N(u) ∪ u). Keeps components intact
+    * while halving long paths.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u")
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    sym.join(mins, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: orient edges high→low; each node connects its smaller
+    * neighbors (and itself) to the smallest of them.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v")).distinct()
+    val withMin = dir.join(
+      dir.groupBy("u").agg(min(col("v")).as("m")), "u")
+    withMin.filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(withMin.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
 
   /** @param pairs DataFrame with columns (a, b) — undirected edges.
     * @return (doc_id, keeper_id) for every node appearing in any edge.
     */
-  def assignKeepers(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def assignKeepers(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    assignKeepersWithRounds(pairs, maxRounds)._1
+
+  /** As [[assignKeepers]], also reporting the alternating-star rounds used
+    * (the spec asserts the logarithmic bound on a worst-case chain).
+    */
+  def assignKeepersWithRounds(
+      pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    val nodes = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id"))).distinct().cache()
+    var edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      round += 1
+    }
+    // fixpoint = stars centered at component minima: every node's smallest
+    // incident node (or itself) IS the component min
+    val lbl = edges.select(col("u").as("id"), col("v").as("label"))
+      .union(edges.select(col("v").as("id"), col("u").as("label")))
+      .groupBy("id").agg(min(col("label")).as("nbMin"))
+      .select(col("id"), least(col("id"), col("nbMin")).as("label"))
+    val out = nodes.join(lbl, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("label"), col("id")).as("keeper_id"))
+    (out, round)
+  }
+
+  /** Plain min-label propagation (O(diameter) rounds) — kept as the
+    * reference implementation the star variant is cross-checked against.
+    */
+  private[dedup] def minLabelPropagation(
+      pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val sym = pairs.select(col("a").as("id"), col("b").as("nb"))
       .union(pairs.select(col("b").as("id"), col("a").as("nb")))
       .cache()

@@ -4,7 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
@@ -26,9 +27,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   *    one buffered right row — no window buffers, no unioned stream;
   *  - that profile is what survives 100 TB: shuffle on key once, stream.
   *
-  * v1 restriction (documented): key and time expressions must evaluate to
-  * Long (LongType / TimestampType / IntegerType-widened) — the corpus
-  * shapes. Generalizing = swapping two `getLong`s for interpreted orderings.
+  * Keys and times may be ANY orderable type (numeric, string, date,
+  * timestamp, …) — the merge compares through interpreted orderings for
+  * the declared data types. `inclusive` picks the bound: true = last right
+  * row with time <= left time (the default point-in-time lookup), false =
+  * strictly earlier (time < left time — "as of just before", the form that
+  * excludes same-instant lookahead).
   */
 object AsOfJoin {
 
@@ -36,7 +40,8 @@ object AsOfJoin {
       left: LogicalPlan, right: LogicalPlan,
       leftKey: Expression, rightKey: Expression,
       leftTime: Expression, rightTime: Expression,
-      rightTieBreak: Seq[Expression])
+      rightTieBreak: Seq[Expression],
+      inclusive: Boolean)
       extends BinaryNode {
     // right side is outer: its attributes become nullable
     override def output: Seq[Attribute] =
@@ -48,8 +53,8 @@ object AsOfJoin {
 
   object AsOfStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinNode(l, r, lk, rk, lt, rt, tb) =>
-        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+      case AsOfJoinNode(l, r, lk, rk, lt, rt, tb, inc) =>
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, inc) :: Nil
       case _ => Nil
     }
   }
@@ -58,7 +63,8 @@ object AsOfJoin {
       left: SparkPlan, right: SparkPlan,
       leftKey: Expression, rightKey: Expression,
       leftTime: Expression, rightTime: Expression,
-      rightTieBreak: Seq[Expression])
+      rightTieBreak: Seq[Expression],
+      inclusive: Boolean)
       extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
@@ -82,31 +88,49 @@ object AsOfJoin {
       val rOut = right.output
       val outAttrs = output
       val lk = leftKey; val rk = rightKey; val lt = leftTime; val rt = rightTime
+      val inc = inclusive
+      val keyType = lk.dataType
+      val timeType = lt.dataType
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
         val lktProj = UnsafeProjection.create(Seq(lk, lt), lOut)
         val rktProj = UnsafeProjection.create(Seq(rk, rt), rOut)
         val outProj = UnsafeProjection.create(outAttrs, outAttrs)
         val nullRight = new GenericInternalRow(rOut.length)
         val joined = new JoinedRow
+        // interpreted orderings generalize the merge to any orderable type;
+        // the per-row cost is one virtual call — the pass stays O(n+m)
+        val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+        val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+        // inclusive: fold right rows with time <= left time; exclusive: <
+        val timeBound = if (inc) 0 else -1
 
         new Iterator[InternalRow] {
-          private var rKey = 0L
-          private var rTime = 0L
+          private var rKey: Any = _
+          private var rTime: Any = _
           private var rRow: InternalRow = _   // buffered right row, not yet folded
           private var rHave = false
           private var matchRow: InternalRow = _
-          private var matchKey = 0L
+          private var matchKey: Any = _
           private var matchValid = false
 
-          private def advanceRight(): Unit =
-            if (rIter.hasNext) {
+          private def advanceRight(): Unit = {
+            // skip right rows with null key/time: SQL comparison semantics —
+            // they can never match a left row
+            while (rIter.hasNext) {
               val r = rIter.next()
               val kt = rktProj(r)
-              rKey = kt.getLong(0)
-              rTime = kt.getLong(1)
-              rRow = r.copy()
-              rHave = true
-            } else rHave = false
+              if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+                // copy out of the reused projection buffer (UTF8String etc.
+                // point into it; the next projection overwrites)
+                rKey = InternalRow.copyValue(kt.get(0, keyType))
+                rTime = InternalRow.copyValue(kt.get(1, timeType))
+                rRow = r.copy()
+                rHave = true
+                return
+              }
+            }
+            rHave = false
+          }
 
           advanceRight()
 
@@ -115,13 +139,18 @@ object AsOfJoin {
           override def next(): InternalRow = {
             val l = lIter.next()
             val kt = lktProj(l)
-            val lKey = kt.getLong(0)
-            val lTime = kt.getLong(1)
-            while (rHave && (rKey < lKey || (rKey == lKey && rTime <= lTime))) {
+            if (kt.isNullAt(0) || kt.isNullAt(1)) return outProj(joined(l, nullRight))
+            val lKey = kt.get(0, keyType)
+            val lTime = kt.get(1, timeType)
+            while (rHave && {
+              val c = keyOrd.compare(rKey, lKey)
+              c < 0 || (c == 0 && timeOrd.compare(rTime, lTime) <= timeBound)
+            }) {
               matchRow = rRow; matchKey = rKey; matchValid = true
               advanceRight()
             }
-            if (matchValid && matchKey == lKey) outProj(joined(l, matchRow))
+            if (matchValid && keyOrd.compare(matchKey, lKey) == 0)
+              outProj(joined(l, matchRow))
             else outProj(joined(l, nullRight))
           }
         }
@@ -141,7 +170,8 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightTieBreak: Seq[String] = Nil): DataFrame = {
+      rightTieBreak: Seq[String] = Nil,
+      inclusive: Boolean = true): DataFrame = {
     val spark: SparkSession = left.sparkSession
     GraftSqlBridge.addStrategy(spark, AsOfStrategy)
     val lPlan = left.queryExecution.analyzed
@@ -150,10 +180,24 @@ object AsOfJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (lt, rt) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    // same type, or the same physical comparison: TIMESTAMP and
+    // TIMESTAMP_NTZ are both micros-since-epoch Longs and merge correctly
+    def comparable(a: org.apache.spark.sql.types.DataType,
+        b: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.sameType(a, b) ||
+        Set[org.apache.spark.sql.types.DataType](TimestampType, TimestampNTZType) == Set(a, b)
+    }
+    require(comparable(lk.dataType, rk.dataType),
+      s"key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(comparable(lt.dataType, rt.dataType),
+      s"time types differ: ${lt.dataType} vs ${rt.dataType}")
+    Seq(lk, lt).foreach(a => require(RowOrdering.isOrderable(a.dataType),
+      s"${a.name}: ${a.dataType} is not orderable"))
     GraftSqlBridge.ofRows(spark, AsOfJoinNode(
-      lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTime), attr(rPlan, rightTime),
-      rightTieBreak.map(attr(rPlan, _))))
+      lPlan, rPlan, lk, rk, lt, rt,
+      rightTieBreak.map(attr(rPlan, _)), inclusive))
   }
 }

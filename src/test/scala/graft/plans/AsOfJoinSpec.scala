@@ -46,4 +46,40 @@ class AsOfJoinSpec extends SparkSpec {
     // k=1 at t=10 → latest right at t<=10 is v=101; k=2 has no right rows
     assert(got == Set((1L, "a", 101L), (2L, "b", -1L)))
   }
+
+  test("string keys and timestamp times join through interpreted orderings") {
+    val l = Seq(("usr-a", "2024-03-05", 1), ("usr-b", "2024-03-05", 2),
+      ("usr-a", "2024-03-01", 3)).toDF("k", "d", "eid")
+      .withColumn("t", $"d".cast("timestamp"))
+    val r = Seq(("usr-a", "2024-03-02", 10L), ("usr-a", "2024-03-04", 11L),
+      ("usr-b", "2024-03-06", 12L)).toDF("rk", "rd", "v")
+      .withColumn("rt", $"rd".cast("timestamp"))
+    val got = AsOfJoin(l, r, "k", "rk", "t", "rt", Seq("v"))
+      .select($"eid", $"v").collect()
+      .map(row => (row.getInt(0), if (row.isNullAt(1)) -1L else row.getLong(1))).toSet
+    // usr-a@03-05 → 03-04 row; usr-b@03-05 → nothing yet; usr-a@03-01 → none
+    assert(got == Set((1, 11L), (2, -1L), (3, -1L)))
+  }
+
+  test("exclusive bound takes the last strictly-earlier right row") {
+    val l = Seq((1L, 8L, "x"), (1L, 9L, "y")).toDF("k", "t", "tag")
+    val r = Seq((1L, 8L, 100L), (1L, 5L, 99L)).toDF("rk", "rt", "v")
+    def run(inc: Boolean) = AsOfJoin(l, r, "k", "rk", "t", "rt", Seq("v"),
+      inclusive = inc)
+      .select($"tag", $"v").collect()
+      .map(row => (row.getString(0), if (row.isNullAt(1)) -1L else row.getLong(1))).toSet
+    assert(run(true) == Set(("x", 100L), ("y", 100L)))   // t<=8 includes the 8 row
+    assert(run(false) == Set(("x", 99L), ("y", 100L)))   // t<8 falls back to 5
+  }
+
+  test("null keys and times never match (SQL comparison semantics)") {
+    val l = Seq((Option(1L), Option(10L), "a"), (None, Option(10L), "b"),
+      (Option(1L), None, "c")).toDF("k", "t", "tag")
+    val r = Seq((Option(1L), Option(5L), 50L), (Option(1L), None, 60L),
+      (None, Option(1L), 70L)).toDF("rk", "rt", "v")
+    val got = AsOfJoin(l, r, "k", "rk", "t", "rt")
+      .select($"tag", $"v").collect()
+      .map(row => (row.getString(0), if (row.isNullAt(1)) -1L else row.getLong(1))).toSet
+    assert(got == Set(("a", 50L), ("b", -1L), ("c", -1L)))
+  }
 }
