@@ -68,3 +68,85 @@ object TokenState {
     cfg.set("fb_token_expires_at", st.expiresAtEpochSec.toString)
   }
 }
+
+/** What the identity provider reports about a token (reference
+  * `debug_token`, `main.py:93-128`): validity and expiry
+  * (0 = never expires — a system-user token).
+  */
+final case class TokenInfo(
+    isValid: Boolean, expiresAtEpochSec: Long, error: Option[String] = None)
+
+/** The two identity-provider calls the refresh flow needs. The HTTP form
+  * hits `debug_token` / `oauth/access_token?grant_type=fb_exchange_token`
+  * (reference `main.py:93-155`); tests drive the state machine with a
+  * scripted fake.
+  */
+trait TokenEndpoint {
+  def debugToken(token: String, appId: String, appSecret: String): TokenInfo
+  /** Exchange for a fresh long-lived token; throws on provider failure. */
+  def exchangeToken(token: String, appId: String, appSecret: String): TokenState
+}
+
+/** Outcome of [[TokenManager.getValidToken]]; `action` names the branch
+  * taken so callers/ops can log the lifecycle event.
+  */
+final case class TokenDecision(token: String, action: String)
+
+/** The reference's token control flow (`get_valid_token`,
+  * `main.py:159-255`), verbatim as a state machine:
+  *
+  *  1. env override wins unconditionally;
+  *  2. current token must exist and debug as valid — else fatal;
+  *  3. `expires_at == 0` = system-user token, never refreshed;
+  *  4. within `thresholdDays` (7) of expiry: exchange → VERIFY the new
+  *     token → persist token + refresh metadata — a refresh that fails
+  *     (exchange error or invalid result) falls back to the current token
+  *     while it still has ≥1 day of life, and is fatal once expired.
+  */
+object TokenManager {
+
+  def getValidToken(
+      cfg: ConfigProvider, endpoint: TokenEndpoint, nowEpochSec: Long,
+      envToken: Option[String] = None, thresholdDays: Int = 7): TokenDecision = {
+    envToken match {
+      case Some(t) => return TokenDecision(t, "env_override")
+      case None    => ()
+    }
+    val appId = cfg.get("fb_app_id").getOrElse(
+      throw new IllegalStateException("missing credential: fb_app_id"))
+    val appSecret = cfg.get("fb_app_secret").getOrElse(
+      throw new IllegalStateException("missing credential: fb_app_secret"))
+    val current = cfg.get("fb_access_token").getOrElse(
+      throw new IllegalStateException("missing credential: fb_access_token"))
+
+    val info = endpoint.debugToken(current, appId, appSecret)
+    if (!info.isValid)
+      throw new IllegalStateException(
+        s"token is invalid: ${info.error.getOrElse("Unknown error")}; " +
+          "generate a new token and update the secret store")
+    if (info.expiresAtEpochSec == 0L)
+      return TokenDecision(current, "never_expires")
+
+    val daysLeft = (info.expiresAtEpochSec - nowEpochSec) / 86400L
+    if (daysLeft > thresholdDays)
+      return TokenDecision(current, "current")
+
+    try {
+      val fresh = endpoint.exchangeToken(current, appId, appSecret)
+      val verify = endpoint.debugToken(fresh.token, appId, appSecret)
+      if (!verify.isValid)
+        throw new IllegalStateException("refreshed token is not valid")
+      TokenState.persist(cfg, fresh)
+      cfg.set("fb_token_metadata",
+        s"""{"refreshed_at": $nowEpochSec, "expires_at": ${fresh.expiresAtEpochSec}}""")
+      TokenDecision(fresh.token, "refreshed")
+    } catch {
+      case e: Exception if daysLeft > 0 =>
+        // refresh failed but the current token still has life — use it
+        TokenDecision(current, s"refresh_failed_still_valid: ${e.getMessage}")
+      case e: Exception =>
+        throw new IllegalStateException(
+          s"token refresh failed and current token is expired: ${e.getMessage}", e)
+    }
+  }
+}

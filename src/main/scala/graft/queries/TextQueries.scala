@@ -101,6 +101,17 @@ object TextQueries {
     df
   }
 
+  /** Drop the memoized shingle/pair DataFrames (and their block-manager
+    * cache). The memo keys on (session, dir), which is bounded for the
+    * driver's one-shot runs but grows without bound in a long-lived
+    * service — call this at the end of a unit of work there.
+    */
+  def clearCaches(): Unit = {
+    (shingleCache.values ++ pairCache.values).foreach(_.unpersist())
+    shingleCache.clear()
+    pairCache.clear()
+  }
+
   /** Shared DuckDB CTEs: tokens -> distinct 3-gram shingles -> set sizes.
     * `range(1024)` is a constant-table cross join (DuckDB 1.0 has no lateral
     * range); 1024 bounds tokens/doc, far above the corpus max.
