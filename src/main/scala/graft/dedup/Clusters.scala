@@ -30,17 +30,18 @@ object Clusters {
     val mins = sym.groupBy("u")
       .agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("m"))
+    // every emitted edge has u(=old v) > v(=m); duplicates are deduped by
+    // the one distinct in smallStar, not here — one shuffle per round saved
     sym.join(mins, "u").filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
-  /** Small-star: orient edges high→low; each node connects its smaller
-    * neighbors (and itself) to the smallest of them.
+  /** Small-star: each node connects its smaller neighbors (and itself) to
+    * the smallest of them. Input contract: edges oriented high→low (which
+    * [[largeStar]] guarantees), possibly with duplicates.
     */
   private def smallStar(e: DataFrame): DataFrame = {
-    val dir = e.select(greatest(col("u"), col("v")).as("u"),
-      least(col("u"), col("v")).as("v")).distinct()
+    val dir = e.distinct()
     val withMin = dir.join(
       dir.groupBy("u").agg(min(col("v")).as("m")), "u")
     withMin.filter(col("v") =!= col("m"))
@@ -63,13 +64,18 @@ object Clusters {
     val nodes = pairs.select(col("a").as("id"))
       .union(pairs.select(col("b").as("id"))).distinct().cache()
     var edges = pairs.select(col("a").as("u"), col("b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(false)
+    var edgeCount = edges.count() // materializes the lazy checkpoint
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val nextCount = next.count()
+      // both sides are distinct sets, so equal count + empty one-sided
+      // except ⇔ equal sets; a changed count skips the except job entirely
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       round += 1
     }
     // fixpoint = stars centered at component minima: every node's smallest

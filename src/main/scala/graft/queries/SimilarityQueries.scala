@@ -114,9 +114,11 @@ object SimilarityQueries {
     // recall 1.0 (asserted on planted dups in AnnLshSpec). Approximate by
     // design on this corpus-relative threshold → rows-only driver check.
     Q.unchecked("dd5b_embedding_neardup_lsh") { (s, d) =>
+      // 8 tables: the demonstration config — at this corpus-relative
+      // threshold more tables only buy candidates, not usable recall
       graft.similarity.AnnLsh.neardupPairs(
         Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.45, dim = 64)
+        threshold = 0.45, dim = 64, nTables = 8)
         .orderBy("i", "j")
     },
 

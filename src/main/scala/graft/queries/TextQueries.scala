@@ -383,17 +383,25 @@ object TextQueries {
         .select(col("p.doc_id").as("a"), col("q.doc_id").as("b")).distinct()
         .cache()
       // Verification is candidate-restricted: semi-join the shingle index
-      // down to docs that appear in some candidate pair, run the exact
-      // Jaccard intersection over that slice only, then keep candidate
-      // pairs clearing the threshold. (A band collision between docs
-      // sharing no shingle produces no pair row and correctly drops.) The
-      // full all-pairs table never materializes — the verification join
-      // input is O(|candidate docs|), not O(|corpus|), which is the whole
-      // point of LSH at 100 TB.
+      // down to docs that appear in some candidate pair, collect each such
+      // doc's (bounded) shingle-hash set as an array, and compute the
+      // exact Jaccard per candidate pair with array_intersect — one
+      // aggregation plus two candidate-sized joins instead of a second
+      // inverted-index self-join. (A band collision between docs sharing
+      // no shingle yields intersection 0 and correctly drops.) The full
+      // all-pairs table never materializes — verification work is
+      // O(|candidate docs|), not O(|corpus|), which is the whole point of
+      // LSH at 100 TB; a document's shingle set is bounded by its length,
+      // so the arrays stay small at any corpus size.
       val candDocs = cand.select(col("a").as("doc_id"))
         .union(cand.select(col("b").as("doc_id"))).distinct()
-      val shSlice = sh.join(candDocs, Seq("doc_id"), "left_semi")
-      cand.join(pairJaccard(shSlice), Seq("a", "b"))
+      val slice = sh.join(candDocs, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(collect_list(col("m")).as("ms"))
+      val inter = size(array_intersect(col("ma"), col("mb")))
+      cand
+        .join(slice.select(col("doc_id").as("a"), col("ms").as("ma")), "a")
+        .join(slice.select(col("doc_id").as("b"), col("ms").as("mb")), "b")
+        .withColumn("jaccard", inter / (size(col("ma")) + size(col("mb")) - inter))
         .filter(col("jaccard") >= NearDupThreshold)
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("a", "b")
