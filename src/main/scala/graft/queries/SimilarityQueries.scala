@@ -46,6 +46,19 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
   }
 
+  /** Stage the embeddings label-partitioned under the repo target dir —
+    * the IVF storage layout (one directory per coarse cluster).
+    */
+  private def stagePartitioned(s: SparkSession, d: String): String = {
+    val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"/root/repo/target/ivf-stage/emb_$sf"
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      Tables.embeddings(s, d).write.mode("overwrite")
+        .partitionBy("label").parquet(dir)
+    }
+    dir
+  }
+
   /** Oracle: same math in DuckDB via a constant range(64) unnest. */
   private def cosSql(sameLabelOnly: Boolean, k: Int): String = {
     val labelPred = if (sameLabelOnly) "AND e.label = q.label" else ""
@@ -80,6 +93,27 @@ object SimilarityQueries {
     // ── SIM2: IVF-style probe — search only the query's coarse cluster ─────
     Q("sim2_ivf_topk", cosSql(sameLabelOnly = true, k = 5)) { (s, d) =>
       topkCos(s, d, sameLabelOnly = true, k = 5)
+    },
+
+    // ── SIM2B: the REAL inverted-file layout — corpus storage-partitioned
+    // by label, probe = equi-join on the partition column, so Spark inserts
+    // a dynamic-partition-pruning subquery and the scan reads only probed
+    // partitions (asserted in PlanSpec). Same math, same oracle as sim2;
+    // at 100 TB this is the difference between scanning the corpus and
+    // scanning nProbe/nList of it.
+    Q("sim2b_ivf_partitioned", cosSql(sameLabelOnly = true, k = 5)) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val corpus = s.read.parquet(stagePartitioned(s, d))
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qe"))
+      val scored = corpus.join(broadcast(queries),
+          col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+        .withColumn("cos_sim", round(expr("cosine_sim(qe, embedding)"), 4))
+      val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id").as("nid"), col("cos_sim"))
+        .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
     },
 
     // ── DD5: embedding-cosine near-duplicate pairs, EXACT via the blocked

@@ -49,6 +49,43 @@ object StreamingQueries {
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("event_type"), col("n"), col("total"))
         .orderBy("hour_start", "event_type")
+    },
+
+    // ── ST2: SESSION windows — Spark's native session_window (merge while
+    // events are < gap apart; a gap of >= 12h closes the session). The
+    // oracle is the classic gaps-and-islands rewrite: break where the lag
+    // difference reaches the gap, cumulative-sum breaks into session ids,
+    // aggregate per (user, session). CAST(ts AS TIMESTAMP) truncates
+    // DuckDB's nanos to micros — the same truncation Tables.events applies
+    // on the Spark side — so boundary arithmetic agrees bit-for-bit.
+    Q("st2_session_window",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |b AS (SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 12 HOUR THEN 1 ELSE 0 END AS brk
+        |       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n, round(sum(value), 2) AS total
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      val dir = stageEvents(s, d)
+      val schema = s.read.parquet(dir).schema
+      val name = s"st2_out_${System.nanoTime()}"
+      val q = s.readStream.schema(schema).parquet(dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n"), col("total"))
+        .orderBy("user_id", "session_start")
     }
   )
 }

@@ -68,4 +68,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"dd5 plans as a cartesian:\n$p")
   }
+
+  test("sim2b: label-partitioned IVF probe prunes partitions dynamically") {
+    val p = plan("sim2b_ivf_partitioned").toLowerCase
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the label-partitioned scan:\n$p")
+  }
 }

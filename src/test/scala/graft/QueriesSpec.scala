@@ -22,6 +22,7 @@ class QueriesSpec extends SparkSpec {
       Set("sim3_ann_lsh", "agg4_approx_distinct", "dd5b_embedding_neardup_lsh")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == unchecked, s"queries without oracle SQL: $missing")
+    assert(SparkEntry.queries.size >= 62)
   }
 
   test("HLL approx distinct is within 5% of exact") {
