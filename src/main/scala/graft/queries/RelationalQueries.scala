@@ -683,6 +683,95 @@ object RelationalQueries {
         when(col("c_name").like("%1%"), 1).otherwise(0).as("has_one"),
         instr(col("c_name"), "#").as("hash_pos"))
         .orderBy("c_custkey")
+    },
+
+    // ── SQ1: scalar subquery — customers above the global average balance.
+    // The 1-row aggregate broadcasts; the comparison is a map-side filter.
+    Q("sq1_scalar_subquery",
+      """SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val avgDf = customer(s, d).agg(avg(col("c_acctbal")).as("ab"))
+      customer(s, d).join(broadcast(avgDf), col("c_acctbal") > col("ab"))
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        .orderBy("c_custkey")
+    },
+
+    // ── SQ2: CORRELATED scalar subquery through the SQL path — exercises
+    // Catalyst's decorrelation rewrite (subquery → left join on the
+    // correlation key). Identical SQL text runs on both engines.
+    Q("sq2_correlated_scalar",
+      """SELECT o_orderkey FROM orders o
+        |WHERE o_totalprice > (SELECT 50 * c_acctbal FROM customer c
+        |                      WHERE c.c_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("orders")
+      customer(s, d).createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT o_orderkey FROM orders o
+          |WHERE o_totalprice > (SELECT 50 * c_acctbal FROM customer c
+          |                      WHERE c.c_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // ── P8: higher-order array functions — transform / aggregate(fold) /
+    // filter / array_max over per-document token lengths, all inside
+    // whole-stage codegen (no UDFs). Elements are cast to BIGINT before
+    // the fold on BOTH sides (lambda arithmetic keeps the element type).
+    Q("p8_higher_order",
+      """WITH t AS (SELECT doc_id,
+        |             list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |                            x -> CAST(length(x) AS BIGINT)) AS lens
+        |           FROM documents)
+        |SELECT doc_id,
+        |       list_reduce(lens, (a, x) -> a + x) AS total_len,
+        |       CAST(len(list_filter(lens, x -> x > 5)) AS INT) AS n_long,
+        |       CAST(list_aggregate(lens, 'max') AS BIGINT) AS max_len
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          expr("transform(split(trim(text), '\\\\s+'), x -> CAST(length(x) AS BIGINT))")
+            .as("lens"))
+        .select(col("doc_id"),
+          expr("aggregate(lens, 0L, (a, x) -> a + x)").as("total_len"),
+          size(expr("filter(lens, x -> x > 5)")).as("n_long"),
+          array_max(col("lens")).as("max_len"))
+        .orderBy("doc_id")
+    },
+
+    // ── W5: RANGE frame with a time interval — trailing-30-day revenue per
+    // customer. Spark ranges over epoch seconds (cast), DuckDB over the
+    // INTERVAL frame: same inclusive window; the frame is defined by the
+    // ORDER-BY VALUE, so tie rows share one deterministic sum.
+    Q("w5_range_frame",
+      """SELECT o_orderkey,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate
+        |         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+        |         AS trailing30
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0)
+      orders(s, d).select(col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("trailing30"))
+        .orderBy("o_orderkey")
+    },
+
+    // ── J9: salted skew join (graft.operators.SkewJoin), oracle-gated: the
+    // salt spreads each hot key over `salts` reducers, and the aggregated
+    // result is provably identical to the plain equi-join the oracle runs.
+    Q("j9_skew_salted",
+      """SELECT c_mktsegment AS seg, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY seg""".stripMargin) { (s, d) =>
+      val big = events(s, d).select(col("user_id"), col("value"))
+      val small = customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedEquiJoin(big, small, "user_id", salts = 8)
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy("seg")
     }
   )
 }
