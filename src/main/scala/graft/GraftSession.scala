@@ -26,6 +26,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (128 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // standard (RFC 4648) base64, no 76-char MIME line breaks — portable
+      // across engines (the oracle's base64 is unchunked)
+      .config("spark.sql.chunkBase64String.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -82,11 +82,15 @@ object MediaPipeline {
 
   /** Frame-sample shape for video-like payloads: chunk the payload into
     * fixed-size "frames" and keep every `stride`-th — pure column ops, no
-    * UDF (array slicing over the binary).
+    * UDF (an index sequence sliced out of the base64 payload; the last
+    * frame may be short).
     */
   def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
-    media.select(col("media_id"),
-      posexplode(split(base64(col("payload")), s"(?<=\\G.{$frameBytes})"))
-        .as(Seq("frame_no", "frame")))
+    media.select(col("media_id"), base64(col("payload")).as("b64"))
+      .select(col("media_id"), posexplode(expr(
+        s"""CASE WHEN length(b64) = 0 THEN array()
+           |ELSE transform(sequence(0, CAST((length(b64) - 1) DIV $frameBytes AS INT)),
+           |               i -> substring(b64, i * $frameBytes + 1, $frameBytes))
+           |END""".stripMargin)).as(Seq("frame_no", "frame")))
       .filter(col("frame_no") % stride === 0)
 }
