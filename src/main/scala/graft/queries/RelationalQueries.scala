@@ -772,6 +772,32 @@ object RelationalQueries {
         .groupBy(col("c_mktsegment").as("seg"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
         .orderBy("seg")
+    },
+
+    // ── J10: interval (range) join via the binned equi-join rewrite
+    // (graft.operators.RangeJoin): lineitems shipping inside the 60-day
+    // window after their order date. The bin quantization turns the BETWEEN
+    // theta predicate into an equi-join on (key, bin) + residual filter —
+    // no nested loop (plan-asserted).
+    Q("j10_range_join",
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |       CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS INT) AS lag_days
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | AND l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
+        |ORDER BY l_orderkey, l_linenumber, lag_days""".stripMargin) { (s, d) =>
+      val left = lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_linenumber"), col("l_shipdate"))
+      val right = orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderdate"))
+        .withColumn("o_end", col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      graft.operators.RangeJoin.binned(left, right,
+        leftTime = "l_shipdate", rightStart = "o_orderdate", rightEnd = "o_end",
+        keys = Seq("k"), binSeconds = 60L * 86400)
+        .select(col("k").as("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+            .as("lag_days"))
+        .orderBy("l_orderkey", "l_linenumber", "lag_days")
     }
   )
 }

@@ -69,6 +69,12 @@ class PlanSpec extends SparkSpec {
       s"dd5 plans as a cartesian:\n$p")
   }
 
+  test("j10: binned range join plans as an equi-join, not a nested loop") {
+    val p = plan("j10_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+  }
+
   test("sim2b: label-partitioned IVF probe prunes partitions dynamically") {
     val p = plan("sim2b_ivf_partitioned").toLowerCase
     assert(p.contains("dynamicpruning"),
