@@ -99,4 +99,45 @@ object Sinks {
   /** Table read with footer-merged schema (evolution-aware). */
   def readTable(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Small-file compaction: rewrite each day partition into
+    * ceil(bytes / targetBytes) files. Daily appends leave one small file
+    * per run per partition; at 100 TB the read cost of a table is driven
+    * by file count as much as byte count, so periodic compaction is part
+    * of the sink contract. Dynamic partition overwrite keeps untouched
+    * days untouched; data is byte-identical after (spec-asserted).
+    *
+    * @return (files before, files after)
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    def dataFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f).filter(_.getName.endsWith(".parquet"))
+      walk(new java.io.File(path))
+    }
+    val before = dataFiles
+    val totalBytes = before.map(_.length()).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val df = readTable(spark, path)
+    // repartition by the partition column so each day writes nFiles max,
+    // and rows of one day land together (one writer per (day, slot))
+    val compacted =
+      if (df.columns.contains("p_date")) df.repartition(nFiles, col("p_date"))
+      else df.repartition(nFiles)
+    val out = compacted.cache()
+    out.count() // materialize BEFORE overwriting the files being read
+    out.write.mode("overwrite")
+      .applyPartitioning(df.columns.contains("p_date"))
+      .parquet(path)
+    out.unpersist()
+    (before.size.toLong, dataFiles.size.toLong)
+  }
+
+  private implicit class WriterOps(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) {
+    def applyPartitioning(partitioned: Boolean): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+      if (partitioned) w.partitionBy("p_date") else w
+  }
 }

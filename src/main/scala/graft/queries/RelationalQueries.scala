@@ -798,6 +798,41 @@ object RelationalQueries {
           datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
             .as("lag_days"))
         .orderBy("l_orderkey", "l_linenumber", "lag_days")
+    },
+
+    // ── TQ3: TPC-H Q3-shaped composite — shipping-priority revenue: filter
+    // both fact sides early, broadcast the filtered customer dim, aggregate
+    // revenue per order, top-10. The plan this should (and does) produce:
+    // pushed filters on both scans, one broadcast join, one shuffle join on
+    // orderkey, partial agg, TakeOrderedAndProject.
+    Q("tq3_shipping_priority",
+      """SELECT l.l_orderkey,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS odate
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = orders(s, d)
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), fmtD).as("odate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select("l_orderkey", "revenue", "odate")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
     }
   )
 }

@@ -121,6 +121,21 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/errors").count() == 1)
   }
 
+  test("compaction shrinks file count and preserves the data byte-for-byte") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val mk = (ad: String, imps: Long) => Seq(
+      ("campX", ad, "facebook", "2024-05-01", "2024-05-01", imps),
+      ("campX", ad, "facebook", "2024-05-02", "2024-05-02", imps)
+    ).toDF("campaign_name", "ad_name", "publisher_platform",
+      "date_start", "date_stop", "impressions")
+    // three appends → ≥3 files per day partition
+    (1 to 3).foreach(i => Sinks.appendToTable(spark, mk(s"ad$i", i * 10L), dir))
+    val before = Sinks.readTable(spark, dir).collect().toSet
+    val (nBefore, nAfter) = Sinks.compact(spark, dir)
+    assert(nBefore >= 6 && nAfter < nBefore, s"$nBefore -> $nAfter")
+    assert(Sinks.readTable(spark, dir).collect().toSet == before)
+  }
+
   test("alignTo backfills missing columns as typed nulls") {
     val target = StructType(Seq(
       StructField("a", StringType), StructField("b", DoubleType)))
