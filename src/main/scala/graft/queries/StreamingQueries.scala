@@ -86,6 +86,32 @@ object StreamingQueries {
             .as("session_start"),
           col("n"), col("total"))
         .orderBy("user_id", "session_start")
+    },
+
+    // ── ST3: streaming deduplication — the exactly-once-ingest primitive: a
+    // doubled stream (self-union, every event arrives twice) deduped on the
+    // event key yields the original set. State is per-key; in production
+    // dropDuplicatesWithinWatermark bounds it by event time.
+    Q("st3_stream_dedup",
+      """SELECT event_id, user_id, event_type,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS t,
+        |       round(value, 2) AS v
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val dir = stageEvents(s, d)
+      val schema = s.read.parquet(dir).schema
+      val name = s"st3_out_${System.nanoTime()}"
+      val src = s.readStream.schema(schema).parquet(dir)
+      val q = src.union(src)
+        .dropDuplicates("event_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"),
+          round(col("value"), 2).as("v"))
+        .orderBy("event_id")
     }
   )
 }

@@ -336,6 +336,36 @@ object TextQueries {
       graft.dedup.Clusters.assignKeepers(pairs).orderBy("doc_id")
     },
 
+    // ── DD7: the end-to-end dedup decision — the corpus with near-dup
+    // non-keepers REMOVED (pairs → components → anti-join). This is the
+    // operator a training pipeline actually runs; dd2/dd6 are its stages.
+    Q("dd7_dedup_corpus", {
+      val clustersSql = graft.dedup.Clusters.unrolledSql(
+        s"""$shingleCtes,
+           |pairs0 AS MATERIALIZED (
+           |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+           |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2),
+           |pairs AS MATERIALIZED (
+           |  SELECT a, b FROM pairs0
+           |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+           |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= $NearDupThreshold)""".stripMargin,
+        rounds = 40)
+      s"""SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id NOT IN (
+         |  SELECT doc_id FROM ($clustersSql) cl WHERE doc_id <> keeper_id)
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      val pairs = allPairsDf(s, d)
+        .filter(col("jaccard") >= NearDupThreshold)
+        .select("a", "b")
+      val nonKeepers = graft.dedup.Clusters.assignKeepers(pairs)
+        .filter(col("doc_id") =!= col("keeper_id"))
+      Tables.documents(s, d).select("doc_id")
+        .join(nonKeepers.select("doc_id"), Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+
     // ── DD3: MinHash + LSH banding. 8 min-hashes h_i = min of the i-th
     // 4-hex chunk of md5(sh) — one md5 evaluation yields 8 independent
     // 16-bit hash families (lexicographic min over hex is a valid minhash

@@ -69,6 +69,14 @@ class PlanSpec extends SparkSpec {
       s"dd5 plans as a cartesian:\n$p")
   }
 
+  test("tq3: composite plan = broadcast dim + top-k without global sort") {
+    val p = plan("tq3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 is a global sort:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate")
+      || p.contains("GreaterThan(l_shipdate"), s"lineitem date filter not pushed:\n$p")
+  }
+
   test("j10: binned range join plans as an equi-join, not a nested loop") {
     val p = plan("j10_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
