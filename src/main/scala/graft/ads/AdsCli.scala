@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.ads.AdsCli daily    <fixtureDir> <acct1,acct2> <table> <auditCsv> [--dry-run]
   *   runMain graft.ads.AdsCli backfill <fixtureDir> <acct1,acct2> <start> <end> <outDir>
   *   runMain graft.ads.AdsCli load     <table> <csvPath|outDir-to-glob>
+  *   runMain graft.ads.AdsCli compact  <table> [targetMB]
   */
 object AdsCli {
 
@@ -30,8 +31,12 @@ object AdsCli {
                 sys.error(s"no backfill_*.csv under $src"))
             else src
           Pipelines.loadCsv(spark, csv, table)
+        case "compact" :: table :: rest =>
+          val targetMB = rest.headOption.map(_.toLong).getOrElse(128L)
+          val (before, after) = Sinks.compact(spark, table, targetMB * 1024 * 1024)
+          JobResult("success", s"compacted $table: $before -> $after files", after)
         case other =>
-          sys.error(s"usage: daily|backfill|load ... (got: ${other.mkString(" ")})")
+          sys.error(s"usage: daily|backfill|load|compact ... (got: ${other.mkString(" ")})")
       }
       println(s"""{"status":"${result.status}","message":"${result.message}","rows_processed":${result.rowsProcessed}}""")
     } finally spark.stop()

@@ -156,6 +156,24 @@ object SimilarityQueries {
         .orderBy("i", "j")
     },
 
+    // ── SIM4: per-label centroids — the IVF coarse-quantizer / k-means
+    // M-step: mean vector per cluster, emitted LONG-form (label, dim, c) so
+    // the compare stays scalar. Explode-to-dims + groupBy(label, dim) is
+    // one shuffle with map-side partials — at 100 TB this is how you
+    // (re)train the coarse quantizer without collecting vectors anywhere.
+    Q("sim4_centroids",
+      """WITH u AS (SELECT label, r.range AS i,
+        |                  CAST(embedding[r.range + 1] AS DOUBLE) AS x
+        |           FROM embeddings, range(64) r)
+        |SELECT label, CAST(i AS INT) AS dim, round(avg(x), 6) AS c
+        |FROM u GROUP BY 1, 2 ORDER BY label, dim""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(round(avg(col("x").cast("double")), 6).as("c"))
+        .orderBy("label", "dim")
+    },
+
     // ── SIM3: signed-random-projection LSH ANN (multi-probe). Approximate
     // by design → no SQL oracle (driver rows-only check); recall vs the
     // exact top-k is asserted in AnnLshSpec.

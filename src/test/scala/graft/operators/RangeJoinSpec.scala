@@ -41,4 +41,25 @@ class RangeJoinSpec extends SparkSpec {
     val got = RangeJoin.binned(points, ivs, "t", "s", "e", binSeconds = 86400L)
     assert(got.count() == 1)
   }
+
+  test("property: binned == brute force over random points/intervals/bin widths") {
+    val rnd = new scala.util.Random(13)
+    val base = ts("2024-01-01 00:00:00").getTime
+    (1 to 3).foreach { trial =>
+      val points = (1 to 60).map(i =>
+        (i.toLong, new java.sql.Timestamp(base + rnd.nextInt(30 * 86400) * 1000L)))
+        .toDF("pid", "t")
+      val ivs = (1 to 25).map { i =>
+        val s0 = base + rnd.nextInt(30 * 86400) * 1000L
+        (100L + i, new java.sql.Timestamp(s0),
+          new java.sql.Timestamp(s0 + (1 + rnd.nextInt(5 * 86400)) * 1000L))
+      }.toDF("iid", "s", "e")
+      val binSeconds = Seq(3600L, 86400L, 7L * 86400)(trial % 3)
+      val binned = RangeJoin.binned(points, ivs, "t", "s", "e", binSeconds = binSeconds)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val brute = points.join(ivs, col("t") >= col("s") && col("t") < col("e"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(binned == brute, s"trial $trial, bin $binSeconds")
+    }
+  }
 }
