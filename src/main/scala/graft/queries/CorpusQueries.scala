@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Corpus-preparation operators a training-data pipeline runs after text
+  * analysis and dedup: relevance scoring (TF-IDF), rule-based quality
+  * filtering (Gopher/C4-style), benchmark-contamination flagging, and
+  * sequence packing. Plus the keyed upsert (graft.operators.Merge) that
+  * mirrors the reference's idempotent daily re-run semantics
+  * (`main.py:359-366` WRITE_TRUNCATE-per-day) as a general CDC merge.
+  *
+  * Scale design (100 TB): every stage is shuffle-on-key with map-side
+  * partials; the only global value (corpus size N in t7) travels as a
+  * 1-row broadcast, and packing (pk1) is windowed PER SOURCE — the
+  * embarrassingly-parallel layout you'd use on a real corpus, never a
+  * single global sort.
+  */
+object CorpusQueries {
+
+  /** Hot docs-per-shingle guard is irrelevant here (ct1 joins against the
+    * small benchmark slice, not itself).
+    */
+  private val stops = "'the', 'and', 'of', 'a'"
+
+  def all: Seq[Q] = Seq(
+
+    // ── T7: doc-level TF-IDF, top-3 terms per document. tf = in-doc term
+    // count; df = docs containing the term; idf = ln(N/df). N is a 1-row
+    // aggregate cross-joined in (a 1-row broadcast at any scale — never a
+    // driver action); the df table shuffles once on term.
+    Q("t7_tfidf_topk",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM u GROUP BY 1, 2),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM u GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, w, round(tf * ln(n.n * 1.0 / df.df), 6) AS tfidf
+        |       FROM tf JOIN df USING (w), n),
+        |r AS (SELECT doc_id, w, tfidf,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn
+        |      FROM sc)
+        |SELECT doc_id, w, tfidf FROM r WHERE rn <= 3
+        |ORDER BY doc_id, tfidf DESC, w""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val u = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      val tf = u.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfw = u.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val sc = tf.join(dfw, "w").crossJoin(n)
+        .withColumn("tfidf", round(col("tf") * log(col("n") * 1.0 / col("df")), 6))
+      val rn = row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w")))
+      sc.withColumn("rn", rn).filter(col("rn") <= 3)
+        .select("doc_id", "w", "tfidf")
+        .orderBy(col("doc_id"), col("tfidf").desc, col("w"))
+    },
+
+    // ── T8: Gopher/C4-style rule filter — per-doc flags plus the combined
+    // keep decision. All rules are narrow per-row maps except the
+    // most-common-word fraction, which is one explode + two keyed
+    // aggregations (shuffle on doc_id — the natural key).
+    Q("t8_quality_rules",
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |                  length(replace(text, ' ', '')) AS nosp FROM documents),
+         |u AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |c AS (SELECT doc_id, w, count(*) AS n FROM u GROUP BY 1, 2),
+         |m AS (SELECT doc_id, max(n) AS mx FROM c GROUP BY 1),
+         |f AS (SELECT t.doc_id, len(toks) AS n_words,
+         |             round(nosp * 1.0 / len(toks), 4) AS mean_word_len,
+         |             round(mx * 1.0 / len(toks), 4) AS top_word_frac,
+         |             CAST(len(list_filter(toks, x -> x IN ($stops))) >= 2 AS INT) AS has_stop
+         |      FROM t JOIN m ON m.doc_id = t.doc_id)
+         |SELECT doc_id, n_words, mean_word_len, top_word_frac, has_stop,
+         |       CAST(n_words >= 20 AND n_words <= 1000
+         |            AND mean_word_len >= 2 AND mean_word_len <= 12
+         |            AND top_word_frac <= 0.15 AND has_stop = 1 AS INT) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("toks"),
+        length(regexp_replace(col("text"), " ", "")).as("nosp"))
+      val mx = t.select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(max(col("n")).as("mx"))
+      val f = t.join(mx, "doc_id").select(col("doc_id"),
+        size(col("toks")).as("n_words"),
+        round(col("nosp") * 1.0 / size(col("toks")), 4).as("mean_word_len"),
+        round(col("mx") * 1.0 / size(col("toks")), 4).as("top_word_frac"),
+        (size(expr(s"filter(toks, x -> array_contains(array($stops), x))")) >= 2)
+          .cast("int").as("has_stop"))
+      f.withColumn("keep",
+          (col("n_words").between(20, 1000) &&
+            col("mean_word_len").between(2, 12) &&
+            col("top_word_frac") <= 0.15 && col("has_stop") === 1).cast("int"))
+        .orderBy("doc_id")
+    },
+
+    // ── PK1: sequence packing — assign docs to fixed token-budget packs
+    // (budget 512) by cumulative token count, windowed PER SOURCE in
+    // deterministic doc order. The fixed-offset formulation (pack boundary
+    // = floor(tokens-before / budget)) keeps it one window function —
+    // greedy repacking would need a sequential scan; at 100 TB each source
+    // shard packs independently, so the sort is per-partition, never global.
+    Q("pk1_seq_pack",
+      """WITH t AS (SELECT source, CAST(doc_id AS BIGINT) AS id,
+        |                  len(regexp_split_to_array(trim(text), '\s+')) AS n FROM documents),
+        |c AS (SELECT source, id, n,
+        |             coalesce(sum(n) OVER (PARTITION BY source ORDER BY id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t),
+        |p AS (SELECT source, CAST(cb // 512 AS BIGINT) AS pack_id, n FROM c)
+        |SELECT source, pack_id, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(col("source"),
+        col("doc_id").cast("long").as("id"),
+        size(split(trim(col("text")), "\\s+")).as("n"))
+      val w = Window.partitionBy("source").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.withColumn("cb", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("pack_id", expr("cb div 512"))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+        .orderBy("source", "pack_id")
+    },
+
+    // ── CT1: benchmark-contamination flagging — which training docs share
+    // an n-gram with the (held-out) benchmark set. Benchmark = the
+    // deterministic 5% hash sample (graft.operators.Sampling — a pure
+    // function of doc_id, so both engines pick the same slice); shingles
+    // reuse TextQueries' cached 3-gram stage. The benchmark shingle set is
+    // tiny relative to the corpus, so the hit join broadcasts at any scale
+    // — contamination checking never shuffles the corpus.
+    Q("ct1_contamination",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         toks[r.range+1] || ' ' || toks[r.range+2] || ' ' || toks[r.range+3] AS sh
+        |       FROM t, range(1024) r WHERE r.range < len(toks) - 2),
+        |bench AS (SELECT doc_id FROM documents
+        |  WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) < 3276),
+        |bs AS (SELECT DISTINCT sh FROM sh JOIN bench USING (doc_id)),
+        |hits AS (SELECT s.doc_id, count(*) AS n_shared
+        |         FROM sh s JOIN bs USING (sh)
+        |         WHERE s.doc_id NOT IN (SELECT doc_id FROM bench) GROUP BY 1)
+        |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM hits ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = TextQueries.shinglesDf(s, d)
+      val bench = graft.operators.Sampling
+        .uniform(Tables.documents(s, d), col("doc_id"), 0.05)
+        .select("doc_id")
+      val benchSh = sh.join(bench, Seq("doc_id"), "left_semi")
+        .select("sh").distinct()
+      sh.join(bench, Seq("doc_id"), "left_anti")
+        .join(broadcast(benchSh), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+
+    // ── M1: keyed upsert via graft.operators.Merge — a 12.5% deterministic
+    // slice of orders arrives re-priced (the CDC batch); merged = updates
+    // win on o_orderkey, everything else kept. Per-row output (no float
+    // re-aggregation) keeps the compare exact; the adjustment is additive
+    // (+10.00) so repriced values stay 2-decimal and never land on a
+    // round-half boundary (a multiplicative reprice makes 3-decimal values
+    // whose .xx5 cases round differently across engines).
+    Q("m1_merge_upsert",
+      """WITH upd AS (
+        |  SELECT o_orderkey, round(o_totalprice + 10.0, 2) AS o_totalprice, 'upd' AS src
+        |  FROM orders
+        |  WHERE (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) < 2)
+        |SELECT o_orderkey, o_totalprice, src FROM upd
+        |UNION ALL
+        |SELECT o.o_orderkey, round(o.o_totalprice, 2), 'base' FROM orders o
+        |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val base = orders.select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), lit("base").as("src"))
+      val upd = orders
+        .filter(conv(substring(md5(col("o_orderkey").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 2)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") + 10.0, 2).as("o_totalprice"), lit("upd").as("src"))
+      graft.operators.Merge.upsert(base, upd, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }
+  )
+}
