@@ -27,6 +27,8 @@ object GraftFunctions {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // theta range joins → binned equi-joins (no nested loops at scale)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

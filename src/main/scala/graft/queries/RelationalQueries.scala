@@ -800,6 +800,31 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber", "lag_days")
     },
 
+    // ── J11: the SAME interval-join shape written as the NATURAL theta
+    // join — no manual binning, no equi key. graft.plans.RangeJoinRewrite
+    // (injected via GraftExtensions) rewrites it to the binned equi-join
+    // automatically; without the rule this plans as a nested-loop cartesian.
+    // Rewrite-fires and no-nested-loop are plan-asserted in its spec.
+    Q("j11_range_join_auto",
+      """SELECT l.l_orderkey, l.l_linenumber, n.n_nationkey
+        |FROM lineitem l JOIN nation n
+        |  ON l.l_shipdate >= TIMESTAMP '1995-01-01' + n.n_nationkey * INTERVAL 30 DAY
+        | AND l.l_shipdate <  TIMESTAMP '1995-01-01' + n.n_nationkey * INTERVAL 30 DAY + INTERVAL 7 DAY
+        |WHERE l.l_quantity = 1
+        |ORDER BY l_orderkey, l_linenumber, n_nationkey""".stripMargin) { (s, d) =>
+      val pts = lineitem(s, d).filter(col("l_quantity") === 1.0)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+      val ivals = nation(s, d).select(col("n_nationkey"),
+        to_timestamp(date_add(lit("1995-01-01").cast("date"),
+          col("n_nationkey") * 30)).as("w_start"),
+        to_timestamp(date_add(lit("1995-01-01").cast("date"),
+          col("n_nationkey") * 30 + 7)).as("w_end"))
+      pts.join(ivals,
+          col("l_shipdate") >= col("w_start") && col("l_shipdate") < col("w_end"))
+        .select("l_orderkey", "l_linenumber", "n_nationkey")
+        .orderBy("l_orderkey", "l_linenumber", "n_nationkey")
+    },
+
     // ── TQ3: TPC-H Q3-shaped composite — shipping-priority revenue: filter
     // both fact sides early, broadcast the filtered customer dim, aggregate
     // revenue per order, top-10. The plan this should (and does) produce:
