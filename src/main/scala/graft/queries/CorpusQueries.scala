@@ -159,6 +159,68 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // ── T9: PMI collocations — pointwise mutual information over adjacent
+    // bigrams: pmi = ln((c12/B) / ((c1/T)(c2/T))). Two keyed counts plus
+    // two 1-row totals (broadcast); top-20 under a total order. The
+    // standard phrase-mining signal, all shuffle-on-key.
+    Q("t9_pmi_bigrams",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |bg AS (SELECT toks[r.range+1] AS w1, toks[r.range+2] AS w2
+        |       FROM t, range(1024) r WHERE r.range < len(toks) - 1),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |u AS (SELECT unnest(toks) AS w FROM t),
+        |uc AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM u) AS t_uni, (SELECT count(*) FROM bg) AS t_bg)
+        |SELECT w1, w2, c12,
+        |       round(ln((c12 * 1.0 / t_bg) / ((u1.c * 1.0 / t_uni) * (u2.c * 1.0 / t_uni))), 6) AS pmi
+        |FROM bc JOIN uc u1 ON u1.w = w1 JOIN uc u2 ON u2.w = w2, tot
+        |WHERE c12 >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(split(trim(col("text")), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bg = t.select(explode(expr(
+        "transform(sequence(0, size(toks)-2), " +
+          "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val u = t.select(explode(col("toks")).as("w"))
+      val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val uc = u.groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = u.agg(count(lit(1)).as("t_uni"))
+        .crossJoin(bg.agg(count(lit(1)).as("t_bg")))
+      bc.join(uc.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uc.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(tot)
+        .filter(col("c12") >= 5)
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log((col("c12") * 1.0 / col("t_bg")) /
+            ((col("c1") * 1.0 / col("t_uni")) * (col("c2") * 1.0 / col("t_uni")))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+
+    // ── RD1: PII redaction (graft.text.Redact) — emails/IPs/SSNs/phones
+    // masked with typed tokens. The corpus is synthetic and clean, so the
+    // query PLANTS one of each per row (derived from doc_id — both engines
+    // build the identical string) and the oracle proves the masking chain
+    // byte-identical. Pure per-row maps inside whole-stage codegen.
+    Q("rd1_redact", {
+      val synth = "substr(text, 1, 40) || ' contact user' || doc_id || " +
+        "'@mail.example.com or 10.0.' || doc_id || " +
+        "'.7 phone 555-123-4567 ssn 123-45-6789.'"
+      s"""SELECT doc_id, ${graft.text.Redact.oracleExpr(synth)} AS clean
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val synth = concat(
+        substring(col("text"), 1, 40), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or 10.0."), col("doc_id"),
+        lit(".7 phone 555-123-4567 ssn 123-45-6789."))
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.text.Redact.redact(synth).as("clean"))
+        .orderBy("doc_id")
+    },
+
     // ── M1: keyed upsert via graft.operators.Merge — a 12.5% deterministic
     // slice of orders arrives re-priced (the CDC batch); merged = updates
     // win on o_orderkey, everything else kept. Per-row output (no float
