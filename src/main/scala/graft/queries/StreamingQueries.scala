@@ -88,6 +88,48 @@ object StreamingQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // ── ST4: stream-stream interval join — click attribution: each view
+    // joined to same-user clicks within the following hour. Both sides are
+    // watermarked and the join carries the event-time range constraint, so
+    // in continuous operation state is bounded (a view can be dropped once
+    // the click watermark passes vts + 1h); inner join emits in append
+    // mode. The oracle is the equivalent batch self-join.
+    Q("st4_stream_stream_join",
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+        |       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS vt,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ct
+        |FROM e v JOIN e c
+        |  ON v.user_id = c.user_id AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, click_id""".stripMargin) { (s, d) =>
+      val dir = stageEvents(s, d)
+      val schema = s.read.parquet(dir).schema
+      val name = s"st4_out_${System.nanoTime()}"
+      val views = s.readStream.schema(schema).parquet(dir)
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+        .withWatermark("vts", "1 hour")
+      val clicks = s.readStream.schema(schema).parquet(dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      val q = views.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("cts") >= col("vts") &&
+            col("cts") < col("vts") + expr("INTERVAL 1 HOUR"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("view_id"), col("click_id"), col("user_id"),
+          date_format(col("vts"), "yyyy-MM-dd HH:mm:ss").as("vt"),
+          date_format(col("cts"), "yyyy-MM-dd HH:mm:ss").as("ct"))
+        .orderBy("view_id", "click_id")
+    },
+
     // ── ST3: streaming deduplication — the exactly-once-ingest primitive: a
     // doubled stream (self-union, every event arrives twice) deduped on the
     // event key yields the original set. State is per-key; in production
