@@ -174,6 +174,55 @@ object SimilarityQueries {
         .orderBy("label", "dim")
     },
 
+    // ── KM1: k-means E-step (graft.similarity.KMeans.assign) — nearest of
+    // 8 deterministic seed centroids per vector, broadcast E-step with a
+    // codegen'd fold distance; dist rounds before the argmin and ties break
+    // on cid, so assignment is a pure function of the data in both engines.
+    Q("km1_kmeans_assign",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, c.cid,
+        |        round(sum((CAST(e.embedding[r.range+1] AS DOUBLE) - CAST(c.ce[r.range+1] AS DOUBLE))
+        |                * (CAST(e.embedding[r.range+1] AS DOUBLE) - CAST(c.ce[r.range+1] AS DOUBLE))), 4) AS dist
+        |      FROM embeddings e, c, range(64) r GROUP BY 1, 2),
+        |rr AS (SELECT vec_id, cid, dist,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)
+        |SELECT vec_id, cid, dist FROM rr WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      graft.similarity.KMeans.assign(emb, "vec_id", "embedding", cents)
+        .orderBy("vec_id")
+    },
+
+    // ── KM2: one full Lloyd iteration — E-step assignment then per-cluster
+    // dimension means (the retrained coarse quantizer), LONG-form like sim4
+    // so the compare stays scalar. KMeans.recompute/fit are the array-form
+    // production path (inertia-descent asserted in KMeansSpec).
+    Q("km2_kmeans_step",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, c.cid,
+        |        round(sum((CAST(e.embedding[r.range+1] AS DOUBLE) - CAST(c.ce[r.range+1] AS DOUBLE))
+        |                * (CAST(e.embedding[r.range+1] AS DOUBLE) - CAST(c.ce[r.range+1] AS DOUBLE))), 4) AS dist
+        |      FROM embeddings e, c, range(64) r GROUP BY 1, 2),
+        |rr AS (SELECT vec_id, cid, dist,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d),
+        |a AS (SELECT vec_id, cid FROM rr WHERE rn = 1),
+        |u AS (SELECT a.cid, r2.range AS dim, CAST(e.embedding[r2.range+1] AS DOUBLE) AS x
+        |      FROM a JOIN embeddings e ON e.vec_id = a.vec_id, range(64) r2)
+        |SELECT cid, CAST(dim AS INT) AS dim, round(avg(x), 6) AS c
+        |FROM u GROUP BY 1, 2 ORDER BY cid, dim""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      graft.similarity.KMeans.assign(emb, "vec_id", "embedding", cents)
+        .select("vec_id", "cid")
+        .join(emb, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg(round(avg(col("x").cast("double")), 6).as("c"))
+        .orderBy("cid", "dim")
+    },
+
     // ── SIM3: signed-random-projection LSH ANN (multi-probe). Approximate
     // by design → no SQL oracle (driver rows-only check); recall vs the
     // exact top-k is asserted in AnnLshSpec.
