@@ -1,0 +1,78 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank as iterated joins — the second iterative graph
+  * operator next to graft.dedup.Clusters (connected components).
+  *
+  * Scale design (100 TB of edges): one iteration = edge⨝rank on src (both
+  * shuffle on src — at scale you pre-partition/bucket `edges` by src once
+  * and every iteration reuses that partitioning), a keyed contribution sum
+  * on dst, and a left join back to the node set. Rank state is one row per
+  * node, localCheckpointed per round so lineage stays O(1). No driver-side
+  * state — node count travels as a 1-row broadcast.
+  *
+  * Determinism (oracle parity): ranks are rounded to `roundTo` decimals at
+  * EVERY iteration, so sub-ulp summation-order differences between engines
+  * are squashed each round instead of compounding; the teleport constant is
+  * taken literally (never computed as 1 − damping, whose double value
+  * differs from the 0.15 literal in the last ulp).
+  */
+object PageRank {
+
+  /** @param edges directed (src, dst); make it symmetric upstream if the
+    *              graph is undirected (also removes dangling nodes).
+    */
+  def run(edges: DataFrame, iters: Int, teleport: Double = 0.15,
+      damping: Double = 0.85, roundTo: Int = 9): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(nn)
+      .select(col("node"), round(lit(1.0) / col("n"), roundTo).as("pr"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val contribs = edges
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("deg")).as("in_c"))
+      pr = nodes.crossJoin(nn)
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(teleport) / col("n") +
+            lit(damping) * coalesce(col("in_c"), lit(0.0)), roundTo).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
+
+  /** The identical computation as one DuckDB query: `edgesSql` must define
+    * CTEs `ed(src, dst)`; iterations unroll as materialized CTEs (the same
+    * pattern as graft.dedup.Clusters.unrolledSql).
+    */
+  def unrolledSql(edgesSql: String, iters: Int, topK: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT n2.node, round(0.15 / nn.n + 0.85 * coalesce(c.s, 0), 9) AS pr
+         |  FROM nodes n2 CROSS JOIN nn
+         |  LEFT JOIN (SELECT ed.dst AS node, sum(p.pr / d.deg) AS s
+         |             FROM ed JOIN $prev p ON p.node = ed.src
+         |             JOIN deg d ON d.src = ed.src
+         |             GROUP BY 1) c ON c.node = n2.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesSql,
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node FROM ed
+       |  UNION SELECT DISTINCT dst FROM ed),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |p0 AS (SELECT node, round(1.0 / nn.n, 9) AS pr FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, pr FROM p$iters ORDER BY pr DESC, node LIMIT $topK""".stripMargin
+  }
+}

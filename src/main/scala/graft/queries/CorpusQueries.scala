@@ -200,6 +200,20 @@ object CorpusQueries {
         .limit(20)
     },
 
+    // ── HH1: vocabulary heavy hitters via the two-pass Misra-Gries top-k
+    // (graft.functions.HeavyHitters). The oracle is the plain exact top-10;
+    // capacity 64 puts every top item above the n/capacity survival bound,
+    // so the bounded-memory pass is provably exact here (the approximate
+    // sub-threshold regime is covered in HeavyHittersSpec).
+    Q("hh1_heavy_hitters",
+      """WITH u AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+        |SELECT w, count(*) AS n FROM u GROUP BY 1
+        |ORDER BY n DESC, w LIMIT 10""".stripMargin) { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      graft.functions.HeavyHitters.topkExact(words, "w", k = 10, capacity = 64)
+    },
+
     // ── RD1: PII redaction (graft.text.Redact) — emails/IPs/SSNs/phones
     // masked with typed tokens. The corpus is synthetic and clean, so the
     // query PLANTS one of each per row (derived from doc_id — both engines

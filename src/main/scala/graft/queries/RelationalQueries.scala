@@ -800,6 +800,31 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber", "lag_days")
     },
 
+    // ── GR1: PageRank (graft.graph.PageRank) over the customer↔supplier
+    // trade graph (distinct pairs through orders×lineitem, symmetrized so
+    // no node dangles; supplier ids offset to a disjoint range). 3 Lloyd-
+    // style rounds of iterated joins, per-round rounding for cross-engine
+    // determinism; oracle = the same rounds unrolled as materialized CTEs.
+    Q("gr1_pagerank",
+      graft.graph.PageRank.unrolledSql(
+        """WITH e0 AS MATERIALIZED (
+          |  SELECT DISTINCT o_custkey AS c, CAST(1000000 + l_suppkey AS BIGINT) AS s
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |ed AS MATERIALIZED (SELECT c AS src, s AS dst FROM e0 UNION SELECT s, c FROM e0)""".stripMargin,
+        iters = 3, topK = 20)) { (s, d) =>
+      val e0 = orders(s, d)
+        .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (lit(1000000L) + col("l_suppkey")).cast("long").as("s"))
+        .distinct()
+      // the two directions are disjoint (c < 1000000 <= s), so plain union
+      // equals SQL UNION's dedup here
+      val ed = e0.select(col("c").as("src"), col("s").as("dst"))
+        .union(e0.select(col("s").as("src"), col("c").as("dst")))
+      graft.graph.PageRank.run(ed, iters = 3)
+        .orderBy(col("pr").desc, col("node")).limit(20)
+    },
+
     // ── J11: the SAME interval-join shape written as the NATURAL theta
     // join — no manual binning, no equi key. graft.plans.RangeJoinRewrite
     // (injected via GraftExtensions) rewrites it to the binned equi-join

@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MG summary keeps items above the n/capacity bound under overflow") {
+    // 1 item at 40% + 600 singletons; capacity 16 << 601 distinct
+    val words = (Seq.fill(400)("heavy") ++ (1 to 600).map(i => s"rare$i"))
+    val df = words.toDF("w").repartition(8) // force partial merges
+    val m = df.agg(HeavyHitters.misraGries(16)(col("w")))
+      .as[Map[String, Long]].first()
+    assert(m.size <= 16)
+    assert(m.contains("heavy"))
+    // lower-bound property: stored count never exceeds the true count
+    assert(m("heavy") <= 400)
+  }
+
+  test("two-pass top-k equals exact top-k when heads are above the bound") {
+    val words = (Seq.fill(300)("a") ++ Seq.fill(200)("b") ++ Seq.fill(100)("c")
+      ++ (1 to 400).map(i => s"tail$i"))
+    val df = words.toDF("w").repartition(8)
+    val got = HeavyHitters.topkExact(df, "w", k = 3, capacity = 16)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 300L), ("b", 200L), ("c", 100L)))
+  }
+
+  test("deterministic tie-break: equal counts order by word") {
+    val words = Seq.fill(5)("x") ++ Seq.fill(5)("m") ++ Seq.fill(5)("z")
+    val got = HeavyHitters.topkExact(words.toDF("w"), "w", k = 3, capacity = 8)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("m", 5L), ("x", 5L), ("z", 5L)))
+  }
+}
