@@ -800,6 +800,58 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber", "lag_days")
     },
 
+    // ── Z1: Morton (Z-order) clustering key (graft.operators.Layout) —
+    // the key both engines compute bit-identically; Layout.writeZOrdered
+    // uses it to tile files in two dimensions (spec asserts Morton order
+    // and per-file bounding boxes). Pure codegen'd bit arithmetic.
+    Q("z1_zorder_key", {
+      val z = graft.operators.Layout.zorderOracleExpr(
+        "(l_partkey % 256)", "(l_suppkey % 256)", bits = 8)
+      s"""SELECT l_orderkey, l_linenumber, CAST($z AS BIGINT) AS zkey
+         |FROM lineitem ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin
+    }) { (s, d) =>
+      lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.Layout.zorderKey(
+          col("l_partkey") % 256, col("l_suppkey") % 256, bits = 8).as("zkey"))
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
+    },
+
+    // ── FN1: funnel analysis — ordered-stage conversion (first view →
+    // click within 6h → purchase within 6h of that click). Three keyed
+    // min-aggregations chained by equi-joins on user_id — every stage
+    // shuffles on the same key, so at scale the chain co-partitions and
+    // AQE collapses the exchanges. Stage labels carry a v1/v2/v3 prefix so
+    // ORDER BY stage is total even when counts tie.
+    Q("fn1_funnel",
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS tv FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS tc FROM e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.tv
+        |        AND e.ts <= v.tv + INTERVAL 6 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS tp FROM e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+        |        AND e.ts <= c.tc + INTERVAL 6 HOUR GROUP BY 1)
+        |SELECT 'v1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT 'v2_click', count(*) FROM c
+        |UNION ALL SELECT 'v3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin) { (s, d) =>
+      val e = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("tv"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("tv") &&
+          col("ts") <= col("tv") + expr("INTERVAL 6 HOURS"))
+        .groupBy("user_id").agg(min(col("ts")).as("tc"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("tc") &&
+          col("ts") <= col("tc") + expr("INTERVAL 6 HOURS"))
+        .groupBy("user_id").agg(min(col("ts")).as("tp"))
+      def stage(df: DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n_users")).select(lit(label).as("stage"), col("n_users"))
+      stage(v, "v1_view").unionByName(stage(c, "v2_click"))
+        .unionByName(stage(p, "v3_purchase")).orderBy("stage")
+    },
+
     // ── GR1: PageRank (graft.graph.PageRank) over the customer↔supplier
     // trade graph (distinct pairs through orders×lineitem, symmetrized so
     // no node dangles; supplier ids offset to a disjoint range). 3 Lloyd-
