@@ -24,9 +24,14 @@ object PageRank {
   /** @param edges directed (src, dst); make it symmetric upstream if the
     *              graph is undirected (also removes dangling nodes).
     */
-  def run(edges: DataFrame, iters: Int, teleport: Double = 0.15,
+  def run(edges0: DataFrame, iters: Int, teleport: Double = 0.15,
       damping: Double = 0.85, roundTo: Int = 9): DataFrame = {
+    // every iteration re-reads the edge set — materialize it ONCE (its
+    // upstream plan may be an expensive join+distinct); spill-safe so a
+    // 100 TB-derived edge list doesn't have to fit in memory
+    val edges = edges0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
@@ -47,6 +52,8 @@ object PageRank {
             lit(damping) * coalesce(col("in_c"), lit(0.0)), roundTo).as("pr"))
         .localCheckpoint()
     }
+    // the final pr is checkpointed (lineage cut), so the edge cache can go
+    edges.unpersist()
     pr
   }
 
