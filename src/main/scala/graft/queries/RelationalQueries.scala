@@ -800,6 +800,59 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber", "lag_days")
     },
 
+    // ── MV1: incremental materialized-view refresh — the daily revenue
+    // rollup computed as COMBINE(partial over 90% "history", partial over
+    // the 10% "delta") via graft.operators.IncrementalAgg; the oracle is
+    // the full recompute. Proves the partial-reaggregation math the daily
+    // pipeline relies on: refresh cost O(|MV| + |delta|), never a rescan.
+    // rev rounds to 4dp, not 2: the addends are exact 4-decimal products,
+    // so day sums are 4-decimal values — at 2dp they LAND on .xx5 rounding
+    // midpoints, where the partial-vs-full association drift (~1e-7) flips
+    // pennies; at 4dp no midpoint exists and both engines agree exactly
+    Q("mv1_incremental_rollup",
+      """SELECT strftime(date_trunc('day', l_shipdate), '%Y-%m-%d') AS day,
+        |       count(*) AS n, round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+        |FROM lineitem GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d)
+        .select(date_format(date_trunc("day", col("l_shipdate")), "yyyy-MM-dd").as("day"),
+          col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev0"))
+      def partial(df: DataFrame) =
+        df.groupBy("day").agg(count(lit(1)).as("n"), sum(col("rev0")).as("rev_p"))
+      val history = partial(li.filter(col("l_orderkey") % 10 =!= 0))
+      val delta = partial(li.filter(col("l_orderkey") % 10 === 0))
+      graft.operators.IncrementalAgg
+        .combine(history, delta, Seq("day"), sumCols = Seq("n", "rev_p"))
+        .select(col("day"), col("n"), round(col("rev_p"), 4).as("rev"))
+        .orderBy("day")
+    },
+
+    // ── AD1: anomaly flagging on the daily event rollup — trailing-7-day
+    // mean/stddev (current day excluded), 3σ exceedance flag: the
+    // monitoring health-check (reference A4) upgraded from fixed
+    // thresholds to adaptive ones. One global 30-row window here; at scale
+    // the window partitions by metric/entity.
+    Q("ad1_anomaly_days",
+      """WITH d AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+        |                  count(*) AS n FROM events GROUP BY 1),
+        |w AS (SELECT day, n,
+        |        round(avg(n) OVER t, 4) AS avg7,
+        |        round(stddev_samp(n) OVER t, 4) AS sd7
+        |      FROM d WINDOW t AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT day, n, avg7, sd7,
+        |       CAST(sd7 IS NOT NULL AND n > avg7 + 3 * sd7 AS INT) AS anomaly
+        |FROM w ORDER BY day""".stripMargin) { (s, d) =>
+      val dc = events(s, d)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val t = Window.orderBy("day").rowsBetween(-7, -1)
+      dc.withColumn("avg7", round(avg(col("n")).over(t), 4))
+        .withColumn("sd7", round(stddev_samp(col("n")).over(t), 4))
+        .withColumn("anomaly",
+          (col("sd7").isNotNull && col("n") > col("avg7") + col("sd7") * 3).cast("int"))
+        .orderBy("day")
+    },
+
     // ── Z1: Morton (Z-order) clustering key (graft.operators.Layout) —
     // the key both engines compute bit-identically; Layout.writeZOrdered
     // uses it to tile files in two dimensions (spec asserts Morton order
