@@ -88,4 +88,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dynamicpruning"),
       s"no dynamic partition pruning on the label-partitioned scan:\n$p")
   }
+
+  test("km1: the E-step broadcasts the centroid table, never shuffles the corpus against it") {
+    val p = plan("km1_kmeans_assign")
+    assert(p.contains("BroadcastExchange"), s"centroids not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to join centroids:\n$p")
+  }
+
+  test("ct1: contamination hits join against a BROADCAST benchmark shingle set") {
+    val p = plan("ct1_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark shingles not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination check degenerated:\n$p")
+  }
+
+  test("hh1: candidate second pass is a broadcast join (no full-vocab shuffle)") {
+    val p = plan("hh1_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), s"candidate set not broadcast:\n$p")
+  }
+
+  test("pk1: packing windows per source — no single-partition global sort") {
+    val p = plan("pk1_seq_pack")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"packing collapsed to one partition:\n$p")
+    assert(p.contains("Window"), s"no window in packing plan:\n$p")
+  }
 }
