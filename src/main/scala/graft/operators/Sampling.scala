@@ -36,4 +36,23 @@ object Sampling {
     }
     df.filter(bucket(key) < threshold)
   }
+
+  /** Deterministic dataset split (train/val/test …): label each row by its
+    * hash bucket against cumulative fraction boundaries. A pure function
+    * of the key — the split is stable across runs, engines, and
+    * repartitions, and rows can never leak between splits.
+    *
+    * @param fractions (label, fraction) in order; fractions must sum to ≤ 1
+    *                  — any remainder falls into the LAST label.
+    */
+  def split(df: DataFrame, key: Column, fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty)
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => (c * Buckets).toInt)
+    val labeled = fractions.map(_._1).zip(cuts).dropRight(1)
+      .foldRight(lit(fractions.last._1): Column) { case ((label, cut), rest) =>
+        when(bucket(key) < cut, label).otherwise(rest)
+      }
+    df.withColumn("split", labeled)
+  }
 }

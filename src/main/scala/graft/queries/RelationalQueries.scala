@@ -373,6 +373,48 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // ── AGG6: sketch-based quantiles (Greenwald-Khanna approx_percentile) —
+    // approximate by design → rows-only driver check; accuracy vs the
+    // exact percentiles is asserted in QueriesSpec. At 100 TB the sketch
+    // merges map-side in fixed memory, where exact percentiles must
+    // shuffle every value.
+    Q.unchecked("agg6_approx_quantiles") { (s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)")
+          .as("q_approx"))
+        .select(col("l_returnflag"),
+          element_at(col("q_approx"), 1).as("p50"),
+          element_at(col("q_approx"), 2).as("p90"))
+        .orderBy("l_returnflag")
+    },
+
+    // ── GS1: GROUPING SETS with per-column grouping flags — the general
+    // form agg2 (rollup) and agg3 (cube) are shorthands for; grouping()
+    // flags disambiguate real NULLs from subtotal rows. Spark plans one
+    // Expand + single aggregate. total rounds to 2dp: the addends are
+    // 2-decimal prices, so every set's sum is a 2-decimal value (midpoint-
+    // free at 2dp) and both engines land on it despite summation-order
+    // drift across 15k rows.
+    Q("gs1_grouping_sets",
+      """SELECT strftime(date_trunc('year', o_orderdate), '%Y') AS yr,
+        |       o_orderstatus AS st,
+        |       CAST(grouping(strftime(date_trunc('year', o_orderdate), '%Y')) AS INT) AS g_yr,
+        |       CAST(grouping(o_orderstatus) AS INT) AS g_st,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((yr), (st), ())
+        |ORDER BY g_yr, g_st, yr NULLS FIRST, st NULLS FIRST""".stripMargin) { (s, d) =>
+      orders(s, d).createOrReplaceTempView("gs1_orders")
+      s.sql(
+        """SELECT yr, st,
+          |       CAST(grouping(yr) AS INT) AS g_yr, CAST(grouping(st) AS INT) AS g_st,
+          |       count(*) AS n, round(sum(tp), 2) AS total
+          |FROM (SELECT date_format(o_orderdate, 'yyyy') AS yr,
+          |             o_orderstatus AS st, o_totalprice AS tp FROM gs1_orders)
+          |GROUP BY GROUPING SETS ((yr), (st), ())
+          |ORDER BY g_yr, g_st, yr NULLS FIRST, st NULLS FIRST""".stripMargin)
+    },
+
     // ── AGG5: exact interpolated percentiles (both engines use the R-7
     // linear-interpolation convention; rounded to absorb ulp drift) ────────
     Q("agg5_percentiles",

@@ -270,6 +270,27 @@ object TextQueries {
         .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    // ── SP3: deterministic train/val/test split (80/10/10) — the split
+    // label is a pure function of md5(doc_id) (graft.operators.Sampling
+    // .split), so rows can never leak between splits across runs, engines,
+    // or repartitions; counts per split prove both engines cut identically.
+    Q("sp3_train_val_test",
+      """WITH b AS (SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bkt
+        |  FROM documents)
+        |SELECT CASE WHEN bkt < 52428 THEN 'train'
+        |            WHEN bkt < 58982 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin) { (s, d) =>
+      graft.operators.Sampling.split(Tables.documents(s, d), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")
+    },
+
     // ── T5: rolling-hash fingerprint — graft's second custom codegen'd
     // Expression (graft.functions.RollingHash); the oracle rebuilds the
     // identical fold from ord() code points with list_reduce.

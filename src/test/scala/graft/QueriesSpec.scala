@@ -19,10 +19,23 @@ class QueriesSpec extends SparkSpec {
 
   test("every query has an oracle (or is explicitly unchecked)") {
     val unchecked = // approximate by design
-      Set("sim3_ann_lsh", "agg4_approx_distinct", "dd5b_embedding_neardup_lsh")
+      Set("sim3_ann_lsh", "agg4_approx_distinct", "dd5b_embedding_neardup_lsh",
+        "agg6_approx_quantiles")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == unchecked, s"queries without oracle SQL: $missing")
     assert(SparkEntry.queries.size >= 62)
+  }
+
+  test("GK approx quantiles sit within the exact per-group value range") {
+    val exact = SparkEntry.queries("agg5_percentiles")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    SparkEntry.queries("agg6_approx_quantiles")(spark, sf).collect().foreach { r =>
+      val (p50e, p90e) = exact(r.getString(0))
+      // GK with accuracy 1000 on ~thousands of rows: rank error <= n/1000;
+      // quantity is integer-valued 1..50, so the value error stays small
+      assert(math.abs(r.getDouble(1) - p50e) <= 2.0, s"p50 off: $r vs $p50e")
+      assert(math.abs(r.getDouble(2) - p90e) <= 2.0, s"p90 off: $r vs $p90e")
+    }
   }
 
   test("HLL approx distinct is within 5% of exact") {
