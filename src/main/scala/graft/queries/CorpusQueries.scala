@@ -200,6 +200,72 @@ object CorpusQueries {
         .limit(20)
     },
 
+    // ── CH1: sliding-window chunking — 32-token windows at stride 16 (the
+    // RAG/embedding-prep op). One transform-over-sequence per row, exploded:
+    // a narrow map, no shuffle until the final presentation sort.
+    Q("ch1_chunk_windows",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, CAST(r.range AS INT) AS idx,
+        |             array_to_string(toks[r.range*16+1 : r.range*16+32], ' ') AS chunk
+        |      FROM t, range(128) r WHERE r.range*16 < len(toks))
+        |SELECT doc_id, idx, chunk, length(chunk) AS n_chars
+        |FROM c ORDER BY doc_id, idx""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, CAST((size(toks) - 1) DIV 16 AS INT)), " +
+            "r -> struct(CAST(r AS INT) AS idx, " +
+            "concat_ws(' ', slice(toks, r * 16 + 1, 32)) AS chunk))")).as("c"))
+        .select(col("doc_id"), col("c.idx").as("idx"), col("c.chunk").as("chunk"),
+          length(col("c.chunk")).as("n_chars"))
+        .orderBy("doc_id", "idx")
+    },
+
+    // ── IC1: incremental cross-corpus dedup — the production mode: a new
+    // batch (deterministic 10% slice) anti-joins its vocabulary-signature
+    // fingerprints against the EXISTING corpus's fingerprint set, so daily
+    // dedup costs O(batch + fingerprint probe), never a full-corpus
+    // re-pairing. At scale the existing fingerprints are a bucketed table
+    // and the batch side broadcasts.
+    Q("ic1_incremental_dedup",
+      """WITH fp AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bkt
+        |  FROM documents),
+        |newb AS (SELECT * FROM fp WHERE bkt < 6553),
+        |ex AS (SELECT DISTINCT fp FROM fp WHERE bkt >= 6553)
+        |SELECT n.doc_id FROM newb n LEFT JOIN ex ON ex.fp = n.fp
+        |WHERE ex.fp IS NULL ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val fp = Tables.documents(s, d).select(col("doc_id"),
+        md5(concat_ws(" ",
+          array_sort(array_distinct(split(trim(col("text")), "\\s+"))))).as("fp"),
+        graft.operators.Sampling.bucket(col("doc_id")).as("bkt"))
+      val newBatch = fp.filter(col("bkt") < 6553)
+      val existing = fp.filter(col("bkt") >= 6553).select("fp").distinct()
+      newBatch.join(existing, Seq("fp"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // ── BAL1: language-balanced resampling — cap each language at 30 docs
+    // chosen by deterministic hash order (a reproducible per-stratum
+    // quota). One window per stratum key; at scale the hash order also
+    // makes the quota restartable (same docs every run).
+    Q("bal1_language_balance",
+      """WITH r AS (SELECT doc_id, lang,
+        |             row_number() OVER (PARTITION BY lang
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |           FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 30 ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 30)
+        .select("doc_id", "lang").orderBy("lang", "doc_id")
+    },
+
     // ── HH1: vocabulary heavy hitters via the two-pass Misra-Gries top-k
     // (graft.functions.HeavyHitters). The oracle is the plain exact top-10;
     // capacity 64 puts every top item above the n/capacity survival bound,
