@@ -99,6 +99,16 @@ class GoldenPipelineSpec extends SparkSpec {
       .filter($"novel_thing_v3".isNull).count() == 4)
   }
 
+  test("compaction keeps the evolved table byte-identical while shrinking files") {
+    def files = new java.io.File(table).listFiles((_, n) => n.startsWith("p_date="))
+      .flatMap(d => d.listFiles((_, n) => n.endsWith(".parquet"))).length
+    val before = Sinks.readTable(spark, table).orderBy("ad_name", "date_start").collect().toSeq
+    val (nBefore, nAfter) = Sinks.compact(spark, table, targetBytes = 64L * 1024 * 1024)
+    assert(nBefore >= nAfter && files == nAfter)
+    val after = Sinks.readTable(spark, table).orderBy("ad_name", "date_start").collect().toSeq
+    assert(after == before)
+  }
+
   test("monitoring answers over the evolved two-day table") {
     val t = Sinks.readTable(spark, table)
     assert(Monitoring.rowCount(t) == 6)
