@@ -23,7 +23,7 @@ class QueriesSpec extends SparkSpec {
         "agg6_approx_quantiles")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == unchecked, s"queries without oracle SQL: $missing")
-    assert(SparkEntry.queries.size >= 62)
+    assert(SparkEntry.queries.size >= 98)
   }
 
   test("GK approx quantiles sit within the exact per-group value range") {
