@@ -19,9 +19,7 @@ import graft.{Q, Tables}
   */
 object CorpusQueries {
 
-  /** Hot docs-per-shingle guard is irrelevant here (ct1 joins against the
-    * small benchmark slice, not itself).
-    */
+  /** Stopword markers shared by the quality rules (t8). */
   private val stops = "'the', 'and', 'of', 'a'"
 
   def all: Seq[Q] = Seq(

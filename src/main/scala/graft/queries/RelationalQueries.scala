@@ -842,6 +842,49 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber", "lag_days")
     },
 
+    // ── TQ5: TPC-H Q5-shaped six-table composite (local-supplier volume):
+    // two fact-fact shuffle joins on their natural keys, broadcast
+    // nation/region dims, region filter pushed below everything. Money
+    // arithmetic is EXACT integer cents (price·(100−disc) as BIGINT), so
+    // nation-level sums are deterministic at ANY group size — the general
+    // fix for float-sum association drift that per-group rounding can't
+    // give on large groups.
+    Q("tq5_local_supplier_volume",
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+        |              CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c
+        |            FROM lineitem)
+        |SELECT n_name, round(sum(rev_c) / 10000.0, 2) AS revenue
+        |FROM customer, orders, li, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_c"))
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val c = customer(s, d).select("c_custkey", "c_nationkey")
+      val su = supplier(s, d).select("s_suppkey", "s_nationkey")
+      val n = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      val r = region(s, d).filter(col("r_name") === "ASIA").select("r_regionkey")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("rev_c")) / 10000.0, 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // ── MV1: incremental materialized-view refresh — the daily revenue
     // rollup computed as COMBINE(partial over 90% "history", partial over
     // the 10% "delta") via graft.operators.IncrementalAgg; the oracle is
