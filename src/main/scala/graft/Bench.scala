@@ -39,10 +39,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Per-query times rounded to ms: with ~100 queries the full-precision
+    // line is ~4 KB and overflows the driver's stdout tail window, so the
+    // line's own head gets truncated away and never parses. 3 decimals
+    // keeps the whole line comfortably inside the window.
+    def ms(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // sbt buries stdout under [info] prefixes; a file copy keeps the line
     // machine-parseable regardless of the launcher
