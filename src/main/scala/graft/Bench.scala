@@ -8,6 +8,14 @@ import org.apache.spark.sql.SparkSession
   * A warmup pass (tiny actions over each base table) runs first so the
   * measured times are query cost, not JVM/codegen/scan-setup cost — the
   * local stand-in for a warmed executor fleet.
+  *
+  * Artifact contract: the driver's stdout capture keeps only a ~2 KB tail,
+  * and the full per-query line is ~2.5 KB (99 query names alone are 1.5 KB),
+  * so stdout alone CANNOT carry the whole artifact. The full line is
+  * therefore always written to /root/repo/BENCH_LAST.json (fixed path, no
+  * env gate), and stdout gets (1) the full line — its head may clip — then
+  * (2) a compact summary line LAST, sized to survive any tail window:
+  * total, failures, the slowest queries, and a pointer to the full file.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,32 +36,57 @@ object Bench {
     selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    graft.queries.TextQueries.clearCaches()
     spark.catalog.clearCache()
 
+    // (name, seconds, succeeded): a query that throws records -1 in the
+    // artifact and its name in "failed" — a crash must not read as a fast run
     val results = selected.map { case (name, fn) =>
       // accumulated broadcast/shuffle state from ~60 prior queries inflates
       // later measurements 2-3x in a single local JVM; a GC between queries
       // keeps each measurement about the query, not the backlog
       System.gc()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      // streaming queries restart a StreamingQueryManager per run and are
+      // the pack's noisiest measurements (3-5x run-to-run on this box) —
+      // median-of-3 keeps their round-over-round comparison meaningful
+      val runs = if (name.startsWith("st") && name.charAt(2).isDigit)
+        Seq(once(), once(), once()) else Seq(once())
+      val med = runs.map(_._1).sorted.apply(runs.size / 2)
+      (name, med, runs.forall(_._2))
     }
-    // Per-query times rounded to ms: with ~100 queries the full-precision
-    // line is ~4 KB and overflows the driver's stdout tail window, so the
-    // line's own head gets truncated away and never parses. 3 decimals
-    // keeps the whole line comfortably inside the window.
+
     def ms(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // sbt buries stdout under [info] prefixes; a file copy keeps the line
-    // machine-parseable regardless of the launcher
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) ms(v) else "-1")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    // total leads the line AND trails it (total_sec): whichever end of the
+    // line a bounded capture window keeps, the headline number survives
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","total_sec":${ms(total)}}"""
+
+    // fixed-path artifact first — three rounds of per-query data were lost
+    // to stdout truncation before this
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), line + "\n")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
     }
+    println(line)
+    // compact, always-parseable LAST line: fits any tail window whole, so a
+    // JSON scan of clipped stdout still yields total + slowest queries
+    val slow = results.filter(_._3).sortBy(-_._2).take(12)
+      .map { case (k, v, _) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$slow,"failed":$failed,"sf":"$sfDir","full":"/root/repo/BENCH_LAST.json"}""")
+
+    graft.queries.TextQueries.clearCaches()
     spark.stop()
   }
 }

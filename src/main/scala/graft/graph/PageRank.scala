@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Distributed PageRank as iterated joins — the second iterative graph
   * operator next to graft.dedup.Clusters (connected components).
   *
-  * Scale design (100 TB of edges): one iteration = edge⨝rank on src (both
-  * shuffle on src — at scale you pre-partition/bucket `edges` by src once
-  * and every iteration reuses that partitioning), a keyed contribution sum
-  * on dst, and a left join back to the node set. Rank state is one row per
-  * node, localCheckpointed per round so lineage stays O(1). No driver-side
-  * state — node count travels as a 1-row broadcast.
+  * Scale design (100 TB of edges): the edge set is hash-partitioned on
+  * `src` ONCE and cached; every iteration's edge⨝rank join consumes that
+  * partitioning directly (asserted in PlanSpec — no ENSURE_REQUIREMENTS
+  * exchange ever sits on the cached scan), so per-round shuffle cost is
+  * O(|ranks|) for the rank side plus the keyed contribution sum on dst —
+  * never O(|edges|). Rank state is one row per node, localCheckpointed per
+  * round so lineage stays O(1). No driver-side state — node count travels
+  * as a 1-row broadcast.
   *
   * Determinism (oracle parity): ranks are rounded to `roundTo` decimals at
   * EVERY iteration, so sub-ulp summation-order differences between engines
@@ -21,39 +23,64 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** @param edges directed (src, dst); make it symmetric upstream if the
-    *              graph is undirected (also removes dangling nodes).
+  /** The one-time graph state an iteration consumes: edges pre-partitioned
+    * on the join key and cached, out-degrees and the node set derived FROM
+    * that partitioned cache (their groupBys run exchange-free over
+    * co-located rows; localCheckpoint carries the physical
+    * outputPartitioning into the checkpointed plan, so deg joins back on
+    * src exchange-free too), and the node count as a 1-row broadcastable df.
     */
-  def run(edges0: DataFrame, iters: Int, teleport: Double = 0.15,
-      damping: Double = 0.85, roundTo: Int = 9): DataFrame = {
+  private[graph] final case class Graph(
+      edges: DataFrame, deg: DataFrame, nodes: DataFrame, nn: DataFrame)
+
+  private[graph] def prepare(edges0: DataFrame): Graph = {
     // every iteration re-reads the edge set — materialize it ONCE (its
-    // upstream plan may be an expensive join+distinct); spill-safe so a
-    // 100 TB-derived edge list doesn't have to fit in memory
-    val edges = edges0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // upstream plan may be an expensive join+distinct), PRE-PARTITIONED on
+    // the iteration join key: the cached scan then satisfies every round's
+    // edge⨝rank distribution requirement, so only the O(|nodes|) rank side
+    // shuffles per iteration, never the O(|edges|) cache. Spill-safe so a
+    // 100 TB-derived edge list doesn't have to fit in memory.
+    val edges = edges0.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    var pr = nodes.crossJoin(nn)
+    Graph(edges, deg, nodes, nodes.agg(count(lit(1)).as("n")))
+  }
+
+  /** One power-iteration round as a lazy plan (PlanSpec asserts no exchange
+    * ever lands on the cached edge scan in this plan).
+    */
+  private[graph] def step(g: Graph, pr: DataFrame, teleport: Double,
+      damping: Double, roundTo: Int): DataFrame = {
+    val contribs = g.edges
+      .join(pr.withColumnRenamed("node", "src"), "src")
+      .join(g.deg, "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("pr") / col("deg")).as("in_c"))
+    g.nodes.crossJoin(g.nn)
+      .join(contribs, Seq("node"), "left")
+      .select(col("node"),
+        round(lit(teleport) / col("n") +
+          lit(damping) * coalesce(col("in_c"), lit(0.0)), roundTo).as("pr"))
+  }
+
+  /** @param edges directed (src, dst); make it symmetric upstream if the
+    *              graph is undirected (also removes dangling nodes).
+    */
+  def run(edges0: DataFrame, iters: Int, teleport: Double = 0.15,
+      damping: Double = 0.85, roundTo: Int = 9): DataFrame = {
+    val g = prepare(edges0)
+    var pr = g.nodes.crossJoin(g.nn)
       .select(col("node"), round(lit(1.0) / col("n"), roundTo).as("pr"))
       .localCheckpoint()
     (1 to iters).foreach { _ =>
-      val contribs = edges
-        .join(pr.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("pr") / col("deg")).as("in_c"))
-      pr = nodes.crossJoin(nn)
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          round(lit(teleport) / col("n") +
-            lit(damping) * coalesce(col("in_c"), lit(0.0)), roundTo).as("pr"))
-        .localCheckpoint()
+      pr = step(g, pr, teleport, damping, roundTo).localCheckpoint()
     }
     // the final pr is checkpointed (lineage cut), so the edge cache can go
-    edges.unpersist()
+    g.edges.unpersist()
     pr
   }
 
