@@ -9,7 +9,12 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build("graft-verify", cpus.toInt)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional prefix filter for targeted oracle iteration (same contract
+    // as Bench): SPARK_GRAFT_ONLY=agg4,agg6
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -31,6 +36,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // cache lifecycle: a pack run must leave the session cache-clean (the
+    // leak matters in a long-lived service, not this one-shot main — but
+    // the contract is asserted here AND in CacheLifecycleSpec)
+    graft.queries.TextQueries.clearCaches()
+    // localCheckpoint RDDs (PageRank/Clusters lineage anchors) are freed by
+    // the ContextCleaner once unreachable — only explicit caches count as
+    // leaks here
+    val leaked = spark.sparkContext.getPersistentRDDs.values
+      .filterNot(_.isCheckpointed)
+    if (leaked.nonEmpty)
+      System.err.println(s"[verify] WARNING: ${leaked.size} persistent RDDs leaked")
     spark.stop()
   }
 }

@@ -61,8 +61,12 @@ object Clusters {
     */
   def assignKeepersWithRounds(
       pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
-    val nodes = pairs.select(col("a").as("id"))
-      .union(pairs.select(col("b").as("id"))).distinct().cache()
+    // cached: read once per star round for convergence and once by the
+    // result plan; the result is lazy, so the unpersist belongs to the
+    // caller's teardown (CacheRegistry.clear via TextQueries.clearCaches)
+    val nodes = graft.CacheRegistry.track(
+      pairs.select(col("a").as("id"))
+        .union(pairs.select(col("b").as("id"))).distinct().cache())
     var edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(false)
     var edgeCount = edges.count() // materializes the lazy checkpoint
@@ -95,9 +99,10 @@ object Clusters {
     */
   private[dedup] def minLabelPropagation(
       pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val sym = pairs.select(col("a").as("id"), col("b").as("nb"))
-      .union(pairs.select(col("b").as("id"), col("a").as("nb")))
-      .cache()
+    val sym = graft.CacheRegistry.track(
+      pairs.select(col("a").as("id"), col("b").as("nb"))
+        .union(pairs.select(col("b").as("id"), col("a").as("nb")))
+        .cache())
     var labels = sym.select(col("id")).distinct()
       .withColumn("label", col("id"))
       .cache()
@@ -115,6 +120,7 @@ object Clusters {
         .filter(col("label") =!= col("old")).isEmpty
       labels.unpersist()
       labels = next.cache()
+      graft.CacheRegistry.track(labels) // final round's cache feeds the result plan
       round += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("keeper_id"))

@@ -362,29 +362,59 @@ object RelationalQueries {
         .orderBy("n_nationkey")
     },
 
-    // ── AGG4: HLL sketch distinct — approximate by construction, so the
-    // check is rows-only here and accuracy-vs-exact is asserted in
-    // QueriesSpec (±5%). At 100 TB this replaces the exact distinct's
-    // full shuffle with fixed-size mergeable sketches.
-    Q.unchecked("agg4_approx_distinct") { (s, d) =>
+    // ── AGG4: HLL sketch distinct — the approximate VALUE is engine-
+    // specific (Spark HLL++ vs DuckDB's HLL differ per-run-of-algorithm,
+    // not per-run-of-query), so it cannot be hash-compared directly.
+    // Keys-exact oracle instead: the hashed result carries the group keys,
+    // the exact companion distinct, and `approx_ok` — the ±5% accuracy
+    // bound EVALUATED INSIDE THE ENGINE — which DuckDB asserts as literal
+    // 1. The sketch aggregate stays in the plan (a wrong or drifting HLL
+    // flips approx_ok to 0 and the driver hash mismatches), making the
+    // accuracy bound itself oracle-gated, not just spec-gated. At 100 TB
+    // the sketch replaces the exact distinct's full shuffle with
+    // fixed-size mergeable state.
+    Q("agg4_approx_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |       1 AS approx_ok
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       lineitem(s, d).groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          when(abs(col("approx_parts") - col("exact_parts"))
+            / col("exact_parts") <= 0.05, lit(1)).otherwise(lit(0))
+            .as("approx_ok"))
         .orderBy("l_returnflag")
     },
 
-    // ── AGG6: sketch-based quantiles (Greenwald-Khanna approx_percentile) —
-    // approximate by design → rows-only driver check; accuracy vs the
-    // exact percentiles is asserted in QueriesSpec. At 100 TB the sketch
-    // merges map-side in fixed memory, where exact percentiles must
-    // shuffle every value.
-    Q.unchecked("agg6_approx_quantiles") { (s, d) =>
+    // ── AGG6: sketch-based quantiles (Greenwald-Khanna approx_percentile).
+    // Same keys-exact oracle shape as agg4: the hashed result carries the
+    // exact interpolated percentiles plus p50_ok/p90_ok — GK's rank-error
+    // guarantee (±n/accuracy = ±0.001·n) checked in-engine against exact
+    // quantiles at ±0.01 rank (10× the guaranteed error), asserted by the
+    // oracle as literal 1. The GK value itself stays engine-specific and
+    // spec-gated. At 100 TB the sketch merges map-side in fixed memory,
+    // where exact percentiles must shuffle every value.
+    Q("agg6_approx_quantiles",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS med_exact,
+        |       round(quantile_cont(l_quantity, 0.9), 4) AS p90_exact,
+        |       1 AS p50_ok, 1 AS p90_ok
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       lineitem(s, d).groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)")
-          .as("q_approx"))
+          .as("qa"),
+          expr("percentile(l_quantity, array(0.49, 0.5, 0.51, 0.89, 0.9, 0.91))")
+            .as("qe"))
         .select(col("l_returnflag"),
-          element_at(col("q_approx"), 1).as("p50"),
-          element_at(col("q_approx"), 2).as("p90"))
+          round(element_at(col("qe"), 2), 4).as("med_exact"),
+          round(element_at(col("qe"), 5), 4).as("p90_exact"),
+          when(element_at(col("qa"), 1)
+            .between(element_at(col("qe"), 1), element_at(col("qe"), 3)), lit(1))
+            .otherwise(lit(0)).as("p50_ok"),
+          when(element_at(col("qa"), 2)
+            .between(element_at(col("qe"), 4), element_at(col("qe"), 6)), lit(1))
+            .otherwise(lit(0)).as("p90_ok"))
         .orderBy("l_returnflag")
     },
 

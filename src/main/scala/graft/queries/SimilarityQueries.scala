@@ -230,7 +230,7 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, d)
       graft.similarity.AnnLsh.topk(
         corpus = emb, queries = emb.filter(col("vec_id") < 10),
-        idCol = "vec_id", vecCol = "embedding", k = 10)
+        idCol = "vec_id", vecCol = "embedding", k = 10, dim = 64)
     }
   )
 }

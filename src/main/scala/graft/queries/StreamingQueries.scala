@@ -21,13 +21,47 @@ object StreamingQueries {
   /** File-stream sources need a directory; stage the single parquet file into
     * one under the repo (never writing outside /root/repo).
     */
-  private def stageEvents(s: SparkSession, d: String): String = {
+  private[graft] def stageEvents(s: SparkSession, d: String): String = {
     val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = s"$stageDirRoot/events_$sf"
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       Tables.events(s, d).write.mode("overwrite").parquet(dir)
     }
     dir
+  }
+
+  /** ST4's streaming plan, pre-sink: views joined to same-user clicks in the
+    * following hour, both sides watermarked, event-time range constraint in
+    * the join condition (what bounds state in continuous operation).
+    * Exposed so StreamingPlanSpec can assert the physical plan
+    * (StreamingSymmetricHashJoin + both watermarks) on the same DataFrame
+    * the query runs.
+    */
+  private[graft] def st4Joined(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(dir).schema
+    val views = s.readStream.schema(schema).parquet(dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+    val clicks = s.readStream.schema(schema).parquet(dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("cts") >= col("vts") &&
+        col("cts") < col("vts") + expr("INTERVAL 1 HOUR"))
+  }
+
+  /** ST3's streaming plan, pre-sink: a doubled stream deduped on the event
+    * key — streaming dedup state, not a batch distinct (asserted in
+    * StreamingPlanSpec).
+    */
+  private[graft] def st3Deduped(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(dir).schema
+    val src = s.readStream.schema(schema).parquet(dir)
+    src.union(src).dropDuplicates("event_id")
   }
 
   def all: Seq[Q] = Seq(
@@ -104,21 +138,8 @@ object StreamingQueries {
         | AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 1 HOUR
         |ORDER BY view_id, click_id""".stripMargin) { (s, d) =>
       val dir = stageEvents(s, d)
-      val schema = s.read.parquet(dir).schema
       val name = s"st4_out_${System.nanoTime()}"
-      val views = s.readStream.schema(schema).parquet(dir)
-        .filter(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
-        .withWatermark("vts", "1 hour")
-      val clicks = s.readStream.schema(schema).parquet(dir)
-        .filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-          col("ts").as("cts"))
-        .withWatermark("cts", "1 hour")
-      val q = views.join(clicks,
-          col("user_id") === col("c_user") &&
-            col("cts") >= col("vts") &&
-            col("cts") < col("vts") + expr("INTERVAL 1 HOUR"))
+      val q = st4Joined(s, dir)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow())
         .start()
@@ -140,11 +161,8 @@ object StreamingQueries {
         |       round(value, 2) AS v
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       val dir = stageEvents(s, d)
-      val schema = s.read.parquet(dir).schema
       val name = s"st3_out_${System.nanoTime()}"
-      val src = s.readStream.schema(schema).parquet(dir)
-      val q = src.union(src)
-        .dropDuplicates("event_id")
+      val q = st3Deduped(s, dir)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow())
         .start()

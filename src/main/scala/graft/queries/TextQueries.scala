@@ -110,6 +110,8 @@ object TextQueries {
     (shingleCache.values ++ pairCache.values).foreach(_.unpersist())
     shingleCache.clear()
     pairCache.clear()
+    // per-query scratch caches (dd3/dd4 band tables, cluster node sets)
+    graft.CacheRegistry.clear()
   }
 
   /** Shared DuckDB CTEs: tokens -> distinct 3-gram shingles -> set sizes.
@@ -424,8 +426,10 @@ object TextQueries {
         struct(lit(4).as("bi"), md5(concat(col("h7"), col("h8"))).as("bv")))).as("band"))
         .select(col("doc_id"), col("band.bi").as("bi"), col("band.bv").as("bv"))
         // both sides of the candidate self-join read this — cache, or the
-        // signature aggregation chain runs twice
+        // signature aggregation chain runs twice (registry-tracked: the
+        // result plan is lazy, so teardown owns the unpersist)
         .cache()
+      graft.CacheRegistry.track(bands)
       // cand is reused three times below (pairs, candDocs, final join) —
       // cache it so the signature/banding chain runs once, not three times.
       val cand = bands.as("p").join(bands.as("q"),
@@ -433,6 +437,7 @@ object TextQueries {
             col("p.doc_id") < col("q.doc_id"))
         .select(col("p.doc_id").as("a"), col("q.doc_id").as("b")).distinct()
         .cache()
+      graft.CacheRegistry.track(cand)
       // Verification is candidate-restricted: semi-join the shingle index
       // down to docs that appear in some candidate pair, collect each such
       // doc's (bounded) shingle-hash set as an array, and compute the
@@ -486,7 +491,9 @@ object TextQueries {
           shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("blk"))
         .select(col("doc_id"), col("sig"), col("blk.bi").as("bi"), col("blk.bv").as("bv"))
         // self-joined below — cache so the signature chain runs once
+        // (registry-tracked; see dd3)
         .cache()
+      graft.CacheRegistry.track(blocks)
       blocks.as("p").join(blocks.as("q"),
           col("p.bi") === col("q.bi") && col("p.bv") === col("q.bv") &&
             col("p.doc_id") < col("q.doc_id"))

@@ -42,18 +42,21 @@ object AnnLsh {
 
   /** Top-k by exact cosine among LSH candidates.
     *
+    * `dim` is part of the caller's schema contract (an embedding table's
+    * dimensionality is fixed metadata, never discovered from data) — so no
+    * driver action ever runs in this path.
+    *
     * @param corpus  (id, vec) rows; vec is array<float>
     * @param queries (id, vec) rows
+    * @param dim     embedding dimensionality (schema metadata, required)
     */
   def topk(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
-      k: Int, nPlanes: Int = 6, seed: Long = 42L, dim: Int = -1): DataFrame = {
+      k: Int, dim: Int, nPlanes: Int = 6, seed: Long = 42L): DataFrame = {
+    require(dim > 0, s"dim must be the embedding dimensionality, got $dim")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // dim should come from the caller's schema contract; the first() probe
-    // is a driver action kept only as a convenience fallback.
-    val d = if (dim > 0) dim else corpus.select(size(col(vecCol))).first().getInt(0)
-    val pls = planes(nPlanes, d, seed)
+    val pls = planes(nPlanes, dim, seed)
     val bucketed = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
       bucketCol(vecCol, pls).as("bucket"))
     val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),

@@ -18,32 +18,47 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle (or is explicitly unchecked)") {
-    val unchecked = // approximate by design
-      Set("sim3_ann_lsh", "agg4_approx_distinct", "dd5b_embedding_neardup_lsh",
-        "agg6_approx_quantiles")
+    val unchecked = // irreducibly approximate (recall-gated in their specs)
+      Set("sim3_ann_lsh", "dd5b_embedding_neardup_lsh")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == unchecked, s"queries without oracle SQL: $missing")
     assert(SparkEntry.queries.size >= 98)
   }
 
-  test("GK approx quantiles sit within the exact per-group value range") {
-    val exact = SparkEntry.queries("agg5_percentiles")(spark, sf).collect()
+  test("GK approx quantiles sit within ±0.01-rank exact bounds (p50_ok/p90_ok)") {
+    // the bound is computed in-engine and oracle-gated at sf0.01; this
+    // re-asserts it at sf0.001 (smaller groups → relatively larger GK error)
+    val rows = SparkEntry.queries("agg6_approx_quantiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(3) == 1, s"p50 outside rank bounds: $r")
+      assert(r.getInt(4) == 1, s"p90 outside rank bounds: $r")
+    }
+    // and the exact companions agree with agg5's independent computation
+    val agg5 = SparkEntry.queries("agg5_percentiles")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    SparkEntry.queries("agg6_approx_quantiles")(spark, sf).collect().foreach { r =>
-      val (p50e, p90e) = exact(r.getString(0))
-      // GK with accuracy 1000 on ~thousands of rows: rank error <= n/1000;
-      // quantity is integer-valued 1..50, so the value error stays small
-      assert(math.abs(r.getDouble(1) - p50e) <= 2.0, s"p50 off: $r vs $p50e")
-      assert(math.abs(r.getDouble(2) - p90e) <= 2.0, s"p90 off: $r vs $p90e")
+    rows.foreach { r =>
+      val (p50e, p90e) = agg5(r.getString(0))
+      assert(r.getDouble(1) == p50e && r.getDouble(2) == p90e, s"exact drift: $r")
     }
   }
 
-  test("HLL approx distinct is within 5% of exact") {
-    SparkEntry.queries("agg4_approx_distinct")(spark, sf).collect().foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
+  test("HLL approx distinct is within 5% of exact (raw values)") {
+    // approx_ok is oracle-gated; this asserts the raw sketch value directly
+    val rows = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.approx_count_distinct(
+        org.apache.spark.sql.functions.col("l_partkey"), 0.02).as("a"),
+        org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.col("l_partkey")).as("e"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
       assert(math.abs(approx - exact) / exact <= 0.05,
         s"approx $approx vs exact $exact")
     }
+    // and the query's in-engine flag agrees
+    SparkEntry.queries("agg4_approx_distinct")(spark, sf).collect()
+      .foreach(r => assert(r.getInt(2) == 1, s"approx_ok=0: $r"))
   }
 }

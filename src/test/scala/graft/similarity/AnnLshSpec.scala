@@ -13,14 +13,14 @@ class AnnLshSpec extends SparkSpec {
     val exact = graft.queries.SimilarityQueries.all
       .find(_.name == "sim1_cosine_topk").get.run(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val ann = AnnLsh.topk(emb, queries, "vec_id", "embedding", k = 10, nPlanes = 4)
+    val ann = AnnLsh.topk(emb, queries, "vec_id", "embedding", k = 10, dim = 64, nPlanes = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
 
     val recall = exact.count(ann.toSet) / exact.length.toDouble
     info(f"ANN recall@10 = $recall%.2f (multi-probe, 4 planes)")
     assert(recall >= 0.4, f"recall $recall%.2f too low")
 
-    val again = AnnLsh.topk(emb, queries, "vec_id", "embedding", k = 10, nPlanes = 4)
+    val again = AnnLsh.topk(emb, queries, "vec_id", "embedding", k = 10, dim = 64, nPlanes = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(ann.toSeq == again.toSeq) // seeded planes → deterministic
   }

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.queries.StreamingQueries
+
+/** Plan-shape assertions for the streaming surface (the batch families all
+  * have PlanSpec coverage; these pin the stateful streaming operators).
+  *
+  * The physical plan of a streaming query only exists per-micro-batch, so
+  * each test runs its plan to completion (AvailableNow on sf0.001) and
+  * captures `StreamingQuery.explain`, which prints the LAST executed
+  * batch's plan.
+  */
+class StreamingPlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Run the streaming DF through a memory sink and return explain output. */
+  private def executedPlan(df: DataFrame, name: String): String = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      val buf = new ByteArrayOutputStream()
+      Console.withOut(new PrintStream(buf, true, "UTF-8")) {
+        q.explain(extended = true)
+      }
+      buf.toString("UTF-8")
+    } finally q.stop()
+  }
+
+  test("st4 plans a stream-stream symmetric hash join with both watermarks " +
+    "and the event-time range condition") {
+    val dir = StreamingQueries.stageEvents(spark, sf)
+    val plan = executedPlan(StreamingQueries.st4Joined(spark, dir),
+      s"plan_st4_${System.nanoTime()}")
+
+    assert(plan.contains("StreamingSymmetricHashJoin"),
+      s"expected stream-stream join, got:\n$plan")
+    // both sides watermarked — this is what bounds join state at 100 TB
+    val watermarks = "EventTimeWatermark".r.findAllIn(plan).size
+    assert(watermarks >= 2, s"expected 2 watermarks, found $watermarks:\n$plan")
+    assert(plan.contains("1 hours"), s"watermark delay missing:\n$plan")
+    // the time-range constraint must live IN the join condition (state
+    // cleanup derives from it) — not be a post-join filter
+    assert("(?s)StreamingSymmetricHashJoin.*cts.*vts".r.findFirstIn(plan).isDefined,
+      s"event-time range condition not in the join node:\n$plan")
+  }
+
+  test("st3 plans streaming dedup state, not a batch distinct") {
+    val dir = StreamingQueries.stageEvents(spark, sf)
+    val plan = executedPlan(StreamingQueries.st3Deduped(spark, dir),
+      s"plan_st3_${System.nanoTime()}")
+
+    assert(plan.contains("StreamingDeduplicate"),
+      s"expected StreamingDeduplicate state operator, got:\n$plan")
+    // a batch-style rewrite would show HashAggregate over the full row set
+    assert(!plan.contains("SortAggregate"),
+      s"unexpected batch aggregate in dedup plan:\n$plan")
+  }
+}
