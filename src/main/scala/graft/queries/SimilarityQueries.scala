@@ -223,14 +223,35 @@ object SimilarityQueries {
         .orderBy("cid", "dim")
     },
 
-    // ── SIM3: signed-random-projection LSH ANN (multi-probe). Approximate
-    // by design → no SQL oracle (driver rows-only check); recall vs the
-    // exact top-k is asserted in AnnLshSpec.
-    Q.unchecked("sim3_ann_lsh") { (s, d) =>
+    // ── SIM3: signed-random-projection LSH ANN (multi-probe). The neighbor
+    // SETS are approximate by design (the seeded hyperplanes aren't
+    // expressible in the oracle) — but, same keys-exact pattern as
+    // agg4/agg6, the QUALITY bound is oracle-gated: the query computes the
+    // exact brute-force top-k in-engine as referee, semi-joins the ANN
+    // result against it, and emits overall recall@10 ≥ 0.15 as `recall_ok`,
+    // which DuckDB asserts as literal 1. A broken LSH (wrong buckets,
+    // broken multi-probe, non-seeded planes) flips the flag and the driver
+    // hash mismatches. The bound is aggregate, not per-query: at 6 planes
+    // the probe set covers ~11% of buckets, so single queries legitimately
+    // miss (measured overall recall 0.20/0.28/0.34 at sf0.001/0.01/0.1 —
+    // deterministic, seeded); the per-query distribution and determinism
+    // stay spec-gated in AnnLshSpec (recall ≥ 0.4 at 4 planes).
+    Q("sim3_ann_lsh",
+      """SELECT count(*) AS n_queries, 1 AS recall_ok FROM embeddings
+        |WHERE vec_id < 10""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      graft.similarity.AnnLsh.topk(
+      val ann = graft.similarity.AnnLsh.topk(
         corpus = emb, queries = emb.filter(col("vec_id") < 10),
         idCol = "vec_id", vecCol = "embedding", k = 10, dim = 64)
+      val exact = topkCos(s, d, sameLabelOnly = false, k = 10)
+      val hits = ann.join(exact.select(col("qid"), col("nid")),
+          Seq("qid", "nid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      emb.filter(col("vec_id") < 10).agg(count(lit(1)).as("n_queries"))
+        .crossJoin(hits)
+        .select(col("n_queries"),
+          when(col("hits") / (col("n_queries") * 10) >= 0.15, lit(1))
+            .otherwise(lit(0)).as("recall_ok"))
     }
   )
 }

@@ -18,6 +18,33 @@ object StreamingQueries {
 
   private val stageDirRoot = "/root/repo/target/stream-stage"
 
+  /** State-partition count for the stateful streaming queries.
+    *
+    * A stateful query's state partitioning is fixed at its FIRST checkpoint
+    * by `spark.sql.shuffle.partitions` — so it must be sized to expected
+    * state volume and commit overhead, not inherited from the batch shuffle
+    * default. Profiled at sf0.1: st4 keeps ~40k state rows, and every
+    * micro-batch commits 4 join-store deltas PER PARTITION (~0.5 s of task
+    * time each) — at 32 partitions that is 128 commits ≈ 70–90 s of task
+    * time per batch (~5 s wall on 32 threads) against a join that costs
+    * well under 1 s; at 8 partitions the same query runs ~1.7 s with 5k
+    * state rows per partition. At cluster scale the same arithmetic applies
+    * upward: raise this until per-partition state fits memory and commit
+    * parallelism saturates, and re-partition via a fresh checkpoint when
+    * state grows.
+    */
+  private val StatePartitions = 8
+
+  /** Run `f` (a streaming-query start + drain) with state partitioning
+    * sized for the stateful operators; restores the session's batch shuffle
+    * setting afterwards, so only the stream's checkpoint picks it up.
+    */
+  private def withStatePartitions[T](s: SparkSession)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** File-stream sources need a directory; stage the single parquet file into
     * one under the repo (never writing outside /root/repo).
     */
@@ -72,13 +99,15 @@ object StreamingQueries {
       val dir = stageEvents(s, d)
       val schema = s.read.parquet(dir).schema
       val name = s"st1_out_${System.nanoTime()}"
-      val q = s.readStream.schema(schema).parquet(dir)
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s) {
+        val q = s.readStream.schema(schema).parquet(dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name)
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("event_type"), col("n"), col("total"))
@@ -107,13 +136,15 @@ object StreamingQueries {
       val dir = stageEvents(s, d)
       val schema = s.read.parquet(dir).schema
       val name = s"st2_out_${System.nanoTime()}"
-      val q = s.readStream.schema(schema).parquet(dir)
-        .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s) {
+        val q = s.readStream.schema(schema).parquet(dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name)
         .select(col("user_id"),
           date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
@@ -139,11 +170,13 @@ object StreamingQueries {
         |ORDER BY view_id, click_id""".stripMargin) { (s, d) =>
       val dir = stageEvents(s, d)
       val name = s"st4_out_${System.nanoTime()}"
-      val q = st4Joined(s, dir)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s) {
+        val q = st4Joined(s, dir)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name)
         .select(col("view_id"), col("click_id"), col("user_id"),
           date_format(col("vts"), "yyyy-MM-dd HH:mm:ss").as("vt"),
@@ -162,11 +195,13 @@ object StreamingQueries {
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       val dir = stageEvents(s, d)
       val name = s"st3_out_${System.nanoTime()}"
-      val q = st3Deduped(s, dir)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s) {
+        val q = st3Deduped(s, dir)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name)
         .select(col("event_id"), col("user_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"),

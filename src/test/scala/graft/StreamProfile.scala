@@ -39,6 +39,13 @@ object StreamProfile {
 
     profile("st4", graft.queries.StreamingQueries.st4Joined(spark, dir), "append")
     profile("st3", graft.queries.StreamingQueries.st3Deduped(spark, dir), "append")
+    // state-partition sizing experiment: the store-commit cost scales with
+    // partition count (4 join stores per partition), state rows don't need 32
+    for (n <- Seq(8, 4)) {
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      profile(s"st4_p$n", graft.queries.StreamingQueries.st4Joined(spark, dir), "append")
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
     spark.stop()
   }
 }
