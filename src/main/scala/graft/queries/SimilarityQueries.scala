@@ -123,7 +123,7 @@ object SimilarityQueries {
     // the background cosine tail (p99.9≈0.377), where measured SRP-LSH
     // cannot reach recall 1.0 with any pruning (0.97 recall while still
     // scanning 47% of pairs at sf0.1). The LSH-candidate variant for the
-    // high-cosine regime is dd5b below (spec-gated, like sim3).
+    // high-cosine regime is dd5b below (recall-gated in its oracle).
     Q("dd5_embedding_neardup",
       """WITH n AS (SELECT vec_id, sqrt(sum(CAST(embedding[r.range+1] AS DOUBLE)
         |                                   * CAST(embedding[r.range+1] AS DOUBLE))) AS nrm
@@ -145,15 +145,42 @@ object SimilarityQueries {
     // ── DD5B: the LSH-candidate near-dup path (multi-table SRP candidates +
     // exact cosine verify) — the plan you run when near-dups are real
     // duplicates (cosine ≥ ~0.9), where it prunes to a few % of pairs at
-    // recall 1.0 (asserted on planted dups in AnnLshSpec). Approximate by
-    // design on this corpus-relative threshold → rows-only driver check.
-    Q.unchecked("dd5b_embedding_neardup_lsh") { (s, d) =>
+    // recall 1.0 (asserted on planted dups in AnnLshSpec). The pair SET is
+    // approximate (the seeded tables aren't oracle-expressible), but — the
+    // agg4/sim3 pattern — the QUALITY bound is oracle-gated: the exact
+    // all-pairs result (dd5's operator) referees in-engine, `n_exact` is
+    // hash-checked against DuckDB's independent O(n²) computation, and
+    // `recall_ok` asserts LSH recall ≥ 0.1 at this deliberately hostile
+    // threshold (measured 0.14/0.36/0.23 at sf0.001/0.01/0.1 —
+    // deterministic, seeded; 0.45 sits inside the background cosine tail,
+    // which is exactly why dd5's exact plan is the recommended operator
+    // there). A broken banding/verify flips the flag → hash mismatch.
+    Q("dd5b_embedding_neardup_lsh",
+      """WITH n AS (SELECT vec_id, sqrt(sum(CAST(embedding[r.range+1] AS DOUBLE)
+        |                                   * CAST(embedding[r.range+1] AS DOUBLE))) AS nrm
+        |           FROM embeddings, range(64) r GROUP BY vec_id),
+        |d AS (SELECT a.vec_id AS i, b.vec_id AS j,
+        |             sum(CAST(a.embedding[r.range+1] AS DOUBLE)
+        |                 * CAST(b.embedding[r.range+1] AS DOUBLE)) AS dot
+        |      FROM embeddings a, embeddings b, range(64) r
+        |      WHERE a.vec_id < b.vec_id GROUP BY 1, 2)
+        |SELECT count(*) AS n_exact, 1 AS recall_ok
+        |FROM d JOIN n na ON na.vec_id = i JOIN n nb ON nb.vec_id = j
+        |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.45""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
       // 8 tables: the demonstration config — at this corpus-relative
       // threshold more tables only buy candidates, not usable recall
-      graft.similarity.AnnLsh.neardupPairs(
-        Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.45, dim = 64, nTables = 8)
-        .orderBy("i", "j")
+      val lsh = graft.similarity.AnnLsh.neardupPairs(
+        emb, "vec_id", "embedding", threshold = 0.45, dim = 64, nTables = 8)
+        .select("i", "j")
+      val exact = graft.similarity.AllPairs.cosinePairs(
+        emb, "vec_id", "embedding", threshold = 0.45).select("i", "j")
+      val nEx = exact.agg(count(lit(1)).as("n_exact"))
+      val nHit = lsh.join(exact, Seq("i", "j"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      nEx.crossJoin(nHit).select(col("n_exact"),
+        when(col("hits") / col("n_exact") >= 0.1, lit(1)).otherwise(lit(0))
+          .as("recall_ok"))
     },
 
     // ── SIM4: per-label centroids — the IVF coarse-quantizer / k-means

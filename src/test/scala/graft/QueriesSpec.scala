@@ -18,10 +18,10 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle (or is explicitly unchecked)") {
-    val unchecked = // irreducibly approximate (recall-gated in AnnLshSpec):
-      // the 0.45 threshold sits inside the background cosine tail, where a
-      // recall flag vs exact would be either false or tautological
-      Set("dd5b_embedding_neardup_lsh")
+    // round 6: every query is oracle-checked — the approximate operators
+    // (agg4/agg6/sim3/dd5b) emit in-engine-verified accuracy/recall bounds
+    // the oracle asserts as literal flags
+    val unchecked = Set.empty[String]
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == unchecked, s"queries without oracle SQL: $missing")
     assert(SparkEntry.queries.size >= 98)
