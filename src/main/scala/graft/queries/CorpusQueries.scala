@@ -326,6 +326,21 @@ object CorpusQueries {
           round(col("o_totalprice") + 10.0, 2).as("o_totalprice"), lit("upd").as("src"))
       graft.operators.Merge.upsert(base, upd, Seq("o_orderkey"))
         .orderBy("o_orderkey")
+    },
+
+    // ── ID1: contiguous global example ids (0..N-1 in doc_id order) —
+    // graft.operators.GlobalIds: range-repartition + per-partition local
+    // positions + an O(P)-row offset prefix-sum, NEVER a single-partition
+    // sort or O(N) window (plan-asserted in GlobalIdsSpec). The oracle is
+    // the naive global row_number — identical result, scale-killing plan.
+    // The trailing orderBy is presentation-only (oracle parity), applied to
+    // the already-assigned ids.
+    Q("id1_global_ids",
+      """SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS gid
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.GlobalIds.withGlobalId(
+          Tables.documents(s, d).select("doc_id"), "gid", col("doc_id"))
+        .orderBy("doc_id")
     }
   )
 }
