@@ -113,4 +113,33 @@ class PlanSpec extends SparkSpec {
       s"packing collapsed to one partition:\n$p")
     assert(p.contains("Window"), s"no window in packing plan:\n$p")
   }
+
+  test("runtime bloom-filter semi-join reduction injects on the fact side " +
+    "of a selective shuffle join") {
+    // At 100 TB a selective dim filter should prune the fact SHUFFLE, not
+    // just the join: Spark's InjectRuntimeFilter plants a bloom filter
+    // built from the filtered creation side into the fact scan side. The
+    // size thresholds exist for real clusters; lower them to exercise the
+    // rewrite on test data, and disable broadcast so the join actually
+    // shuffles (broadcast joins don't need the bloom).
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf).filter(col("o_orderstatus") === "F")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "o_totalprice")
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$opt")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
