@@ -418,6 +418,31 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // ── AGG7: mergeable-sketch incrementality (Datasketches HLL) — the
+    // incremental-DISTINCT pattern mv1 can't reach with algebraic counts:
+    // per-day sketches are built ONCE (at 100 TB: persisted with each
+    // day's partition), and the corpus-wide distinct is re-estimated by
+    // UNIONING stored sketches — no row re-scan, re-agg cost O(days), and
+    // late-arriving days just union in. Oracle shape as agg4: day count +
+    // exact companion distinct hash-checked, the sketch-union estimate
+    // asserted in-engine to ±5% as a flag DuckDB expects as literal 1.
+    Q("agg7_sketch_union",
+      """SELECT count(DISTINCT CAST(l_shipdate AS DATE)) AS n_days,
+        |       count(DISTINCT l_partkey) AS exact_parts, 1 AS union_ok
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      val daily = lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+      val merged = daily.agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = lineitem(s, d)
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      merged.crossJoin(exact)
+        .select(col("n_days"), col("exact_parts"),
+          when(abs(col("est") - col("exact_parts")) / col("exact_parts") <= 0.05,
+            lit(1)).otherwise(lit(0)).as("union_ok"))
+    },
+
     // ── GS1: GROUPING SETS with per-column grouping flags — the general
     // form agg2 (rollup) and agg3 (cube) are shorthands for; grouping()
     // flags disambiguate real NULLs from subtotal rows. Spark plans one
