@@ -18,6 +18,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale: both are shuffle-on-key stateful operators; state lives in the
   * state store per partition and is bounded by watermark/timeout, so
   * executor memory is O(active keys), not O(history).
+  *
+  * Deployment note: `GraftSession.build` disables
+  * `spark.sql.streaming.noDataMicroBatches` because the driver contract
+  * replays finitely. A CONTINUOUS deployment of these append-mode shapes
+  * should re-enable it (the default) on its session — idle-period no-data
+  * batches are what advance the watermark to finalize windows and fire
+  * event-time timeouts when input pauses.
   */
 object EventStream {
 
