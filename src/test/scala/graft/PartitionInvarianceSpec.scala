@@ -1,0 +1,29 @@
+package graft
+
+/** Results must not depend on the parallelism they were computed with —
+  * the property that lets the same query run on 4 local threads and 1000
+  * executors. The driver's oracle gate proves it indirectly (Verify runs
+  * have used 4, 7, and 32 shuffle partitions across rounds); this spec pins
+  * it in-repo for the operators whose ALGORITHMS touch partitioning:
+  * id1 (range-partitioned rank + per-partition offsets) and w1 (running
+  * window over an explicit total order).
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def runAt(partitions: Int, name: String): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  for (name <- Seq("id1_global_ids", "w1_window_running")) {
+    test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
+      val results = Seq(3, 5, 13).map(runAt(_, name))
+      assert(results(0) == results(1) && results(1) == results(2),
+        s"$name varies with partition count")
+    }
+  }
+}
