@@ -836,6 +836,25 @@ object RelationalQueries {
         .orderBy("doc_id")
     },
 
+    // ── P9: UNPIVOT (wide → long) — the inverse of V1's dynamic pivot,
+    // completing the reshape family: Spark's native Dataset.unpivot (an
+    // Expand node — one pass, no join or union explosion) against DuckDB's
+    // UNPIVOT. 2-decimal sums round midpoint-free on both engines.
+    Q("p9_unpivot",
+      """SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
+        |         round(sum(l_extendedprice), 2) AS price
+        |  FROM lineitem GROUP BY 1)
+        |UNPIVOT (value FOR metric IN (qty, price))
+        |ORDER BY l_returnflag, metric""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("price"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    },
+
     // ── W5: RANGE frame with a time interval — trailing-30-day revenue per
     // customer. Spark ranges over epoch seconds (cast), DuckDB over the
     // INTERVAL frame: same inclusive window; the frame is defined by the
@@ -895,6 +914,35 @@ object RelationalQueries {
           datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
             .as("lag_days"))
         .orderBy("l_orderkey", "l_linenumber", "lag_days")
+    },
+
+    // ── J12: INTERVAL-OVERLAP join (two-sided range join) — per-order
+    // 7-day activity windows against the j11-style nation maintenance
+    // windows (14 days each). RangeJoin.intervalOverlap: both sides
+    // explode to 7-day bins, equi-join on bin, exact overlap as residual
+    // filter, and each pair counted ONCE via the canonical
+    // bin-of-overlap-start predicate — dedup is a per-row filter, never a
+    // distinct over the join output. The oracle is the naive theta join.
+    Q("j12_interval_overlap",
+      """SELECT o.o_orderkey, n.n_nationkey
+        |FROM orders o JOIN nation n
+        |  ON o.o_orderdate < TIMESTAMP '1995-01-01' + (n.n_nationkey * 30 + 14) * INTERVAL 1 DAY
+        | AND TIMESTAMP '1995-01-01' + n.n_nationkey * 30 * INTERVAL 1 DAY
+        |     < o.o_orderdate + INTERVAL 7 DAY
+        |ORDER BY o_orderkey, n_nationkey""".stripMargin) { (s, d) =>
+      val a = orders(s, d).select(col("o_orderkey"),
+        col("o_orderdate").as("a_start"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("a_end"))
+      val b = nation(s, d).select(col("n_nationkey"),
+        expr("TIMESTAMP '1995-01-01' + make_dt_interval(n_nationkey * 30)")
+          .as("b_start"),
+        expr("TIMESTAMP '1995-01-01' + make_dt_interval(n_nationkey * 30 + 14)")
+          .as("b_end"))
+      graft.operators.RangeJoin.intervalOverlap(a, b,
+          aStart = "a_start", aEnd = "a_end", bStart = "b_start", bEnd = "b_end",
+          binSeconds = 7L * 86400)
+        .select(col("o_orderkey"), col("n_nationkey"))
+        .orderBy("o_orderkey", "n_nationkey")
     },
 
     // ── TQ5: TPC-H Q5-shaped six-table composite (local-supplier volume):
