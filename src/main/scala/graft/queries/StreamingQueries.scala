@@ -91,6 +91,33 @@ object StreamingQueries {
     src.union(src).dropDuplicates("event_id")
   }
 
+  /** ST5's streaming plan: the PRODUCTION dedup primitive —
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes it, so state is O(keys in the watermark window), not
+    * O(all keys ever) as in st3's unbounded variant.
+    */
+  private[graft] def st5Deduped(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(dir).schema
+    val src = s.readStream.schema(schema).parquet(dir)
+    src.union(src)
+      .withWatermark("ts", "24 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+  }
+
+  /** ST6's streaming plan: stream-static enrichment join — the streaming
+    * fact against a broadcast batch dimension (no state at all: the static
+    * side is re-broadcast per micro-batch, the canonical dimension-refresh
+    * semantics).
+    */
+  private[graft] def st6Enriched(s: SparkSession, dir: String, d: String): DataFrame = {
+    val schema = s.read.parquet(dir).schema
+    val dim = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+    s.readStream.schema(schema).parquet(dir)
+      .withColumn("nk", col("user_id") % 25)
+      .join(broadcast(dim), "nk")
+  }
+
   def all: Seq[Q] = Seq(
     Q("st1_stream_window",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
@@ -207,6 +234,53 @@ object StreamingQueries {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"),
           round(col("value"), 2).as("v"))
         .orderBy("event_id")
+    },
+
+    // ── ST5: watermark-bounded streaming dedup — same result as st3, but
+    // with the state contract a continuous deployment needs: per-key dedup
+    // state is dropped once the watermark passes it (state = keys within
+    // the watermark window, not keys-ever). Same oracle as st3.
+    Q("st5_stream_dedup_watermark",
+      """SELECT event_id, user_id, event_type,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS t,
+        |       round(value, 2) AS v
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val dir = stageEvents(s, d)
+      val name = s"st5_out_${System.nanoTime()}"
+      withStatePartitions(s) {
+        val q = st5Deduped(s, dir)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"),
+          round(col("value"), 2).as("v"))
+        .orderBy("event_id")
+    },
+
+    // ── ST6: stream-static enrichment join — the streaming fact against a
+    // broadcast batch dimension (plan-asserted: BroadcastHashJoin inside
+    // the micro-batch, zero streaming state). The oracle is the equivalent
+    // batch join.
+    Q("st6_stream_static_join",
+      """SELECT n.n_name, count(*) AS n, round(sum(e.value), 2) AS total
+        |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+        |GROUP BY 1 ORDER BY n_name""".stripMargin) { (s, d) =>
+      val dir = stageEvents(s, d)
+      val name = s"st6_out_${System.nanoTime()}"
+      withStatePartitions(s) {
+        val q = st6Enriched(s, dir, d)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(name).groupBy("n_name")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy("n_name")
     }
   )
 }

@@ -114,6 +114,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"no window in packing plan:\n$p")
   }
 
+  test("j12: interval-overlap join is a binned equi-join, not a nested loop") {
+    val p = plan("j12_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap degenerated to a nested loop:\n$p")
+  }
+
   test("runtime bloom-filter semi-join reduction injects on the fact side " +
     "of a selective shuffle join") {
     // At 100 TB a selective dim filter should prune the fact SHUFFLE, not

@@ -63,4 +63,27 @@ class StreamingPlanSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"),
       s"unexpected batch aggregate in dedup plan:\n$plan")
   }
+
+  test("st5 plans WATERMARK-BOUNDED dedup state (WithinWatermark variant)") {
+    val dir = StreamingQueries.stageEvents(spark, sf)
+    val plan = executedPlan(StreamingQueries.st5Deduped(spark, dir),
+      s"plan_st5_${System.nanoTime()}")
+
+    assert(plan.contains("StreamingDeduplicateWithinWatermark"),
+      s"expected the watermark-bounded dedup operator, got:\n$plan")
+    assert(plan.contains("EventTimeWatermark"),
+      s"no watermark feeding the dedup state bound:\n$plan")
+  }
+
+  test("st6 stream-static join broadcasts the dimension and keeps no state") {
+    val dir = StreamingQueries.stageEvents(spark, sf)
+    val plan = executedPlan(StreamingQueries.st6Enriched(spark, dir, sf),
+      s"plan_st6_${System.nanoTime()}")
+
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension not broadcast into the micro-batch:\n$plan")
+    assert(!plan.contains("StreamingSymmetricHashJoin") &&
+      !plan.contains("StateStore"),
+      s"stream-static join must be stateless:\n$plan")
+  }
 }
