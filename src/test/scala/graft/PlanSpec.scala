@@ -83,6 +83,23 @@ class PlanSpec extends SparkSpec {
       s"range join degenerated to a nested loop:\n$p")
   }
 
+  test("gr2: triangle wedge-join is keyed (no cartesian) and closure is a semi-join") {
+    val p = plan("gr2_triangle_count")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"triangle enumeration degenerated to a nested loop:\n$p")
+    assert(p.contains("LeftSemi"), s"closure check is not a semi-join:\n$p")
+  }
+
+  test("sp4: weighted-sample top-k is TakeOrderedAndProject, not a global sort") {
+    assert(plan("sp4_weighted_sample").contains("TakeOrderedAndProject"))
+  }
+
+  test("dd8: substring-dup pair join is an equi-join on the window (no cartesian)") {
+    val p = plan("dd8_substring_dup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"window join degenerated to a nested loop:\n$p")
+  }
+
   test("sim2b: label-partitioned IVF probe prunes partitions dynamically") {
     val p = plan("sim2b_ivf_partitioned").toLowerCase
     assert(p.contains("dynamicpruning"),
