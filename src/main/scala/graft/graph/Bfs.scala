@@ -1,0 +1,59 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-hop BFS (unweighted shortest hop-distance from a seed set) as
+  * frontier-at-a-time joins — the third iterative graph operator next to
+  * PageRank and graft.dedup.Clusters.
+  *
+  * Scale design (100 TB of edges): each round joins ONLY the current
+  * frontier (nodes first settled last round) against the edge set — the
+  * settled interior never re-enters the join, so round cost is
+  * O(|frontier| + its incident edges), not O(|settled| x degree). Edges are
+  * hash-partitioned on `src` once and cached (same discipline as
+  * PageRank.prepare); the frontier side is the only per-round shuffle.
+  * Distance state is one row per reached node, localCheckpointed per round
+  * so lineage stays O(1) across rounds.
+  *
+  * Determinism: hop distances are integers and min() is order-insensitive,
+  * so the result is exactly reproducible on any engine/partitioning —
+  * the DuckDB oracle unrolls the same rounds as CTEs.
+  */
+object Bfs {
+
+  /** Hop distances ≤ maxHops from `seeds`.
+    *
+    * @param edges directed edges (src, dst); pass both directions for an
+    *              undirected graph
+    * @param seeds dataframe with one `node` column (distance 0)
+    * @return (node, dist) for every node within maxHops
+    */
+  def run(edges0: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val edges = edges0.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      edges.count() // materialize once; every round reuses the partitioning
+      var settled = seeds.select(col("node"), lit(0).as("dist"))
+        .localCheckpoint()
+      var frontier = settled
+      var hop = 0
+      while (hop < maxHops && !frontier.isEmpty) {
+        hop += 1
+        // expand ONLY the frontier; drop anything already settled (its
+        // existing dist is necessarily <= hop), keep one row per new node
+        val reached = edges
+          .join(frontier.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(settled, Seq("node"), "left_anti")
+          .select(col("node"), lit(hop).as("dist"))
+          .localCheckpoint()
+        settled = settled.unionByName(reached).localCheckpoint()
+        frontier = reached
+      }
+      settled
+    } finally edges.unpersist(blocking = false)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
 
 /** Round-6 extensions: graph analytics beyond PageRank, deterministic
@@ -176,6 +177,120 @@ object AnalyticsQueries {
           col("x.win") === col("y.win") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct().orderBy("a", "b")
+    },
+
+    // ── GR3: multi-hop BFS (graft.graph.Bfs) — hop distances ≤3 from
+    // customer 1 over the customer↔supplier trade graph (gr1's graph).
+    // Each round expands ONLY the frontier; the settled interior never
+    // re-joins. Integer distances + min semantics = exactly reproducible,
+    // so the oracle just unrolls the rounds as CTEs.
+    Q("gr3_bfs_hops",
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS c, CAST(1000000 + l_suppkey AS BIGINT) AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |ed AS MATERIALIZED (SELECT c AS src, s AS dst FROM e0 UNION SELECT s, c FROM e0),
+        |d0 AS (SELECT CAST(1 AS BIGINT) AS node, 0 AS dist),
+        |r1 AS (SELECT DISTINCT ed.dst AS node FROM ed JOIN d0 ON ed.src = d0.node),
+        |a1 AS (SELECT node, dist FROM d0 UNION ALL
+        |       SELECT node, 1 FROM r1 WHERE node NOT IN (SELECT node FROM d0)),
+        |r2 AS (SELECT DISTINCT ed.dst AS node FROM ed JOIN a1 ON ed.src = a1.node AND a1.dist = 1),
+        |a2 AS (SELECT node, dist FROM a1 UNION ALL
+        |       SELECT node, 2 FROM r2 WHERE node NOT IN (SELECT node FROM a1)),
+        |r3 AS (SELECT DISTINCT ed.dst AS node FROM ed JOIN a2 ON ed.src = a2.node AND a2.dist = 2),
+        |a3 AS (SELECT node, dist FROM a2 UNION ALL
+        |       SELECT node, 3 FROM r3 WHERE node NOT IN (SELECT node FROM a2))
+        |SELECT node, dist FROM a3 ORDER BY node""".stripMargin) { (s, d) =>
+      val e0 = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (lit(1000000L) + col("l_suppkey")).cast("long").as("s"))
+        .distinct()
+      // directions are disjoint (c < 1000000 <= s): union == UNION's dedup
+      val ed = e0.select(col("c").as("src"), col("s").as("dst"))
+        .union(e0.select(col("s").as("src"), col("c").as("dst")))
+      val seeds = s.range(1, 2).select(col("id").as("node"))
+      graft.graph.Bfs.run(ed, seeds, maxHops = 3).orderBy("node")
+    },
+
+    // ── DQ1: data-quality expectations / column profiling (the ANALYZE-
+    // style operator a pipeline runs before trusting a new drop): per-
+    // column row count, null count, distinct count, min/max rendered as
+    // strings. Each metric set is a column-pruned scan + 1-row agg; at
+    // 100 TB n_distinct would be approx_count_distinct (agg4's sketch) —
+    // exact here so the oracle can hash it.
+    Q("dq1_expectations",
+      """SELECT 'l_returnflag' AS col_name, count(*) AS n,
+        |       count(*) - count(l_returnflag) AS n_null,
+        |       count(DISTINCT l_returnflag) AS n_distinct,
+        |       CAST(min(l_returnflag) AS VARCHAR) AS min_s,
+        |       CAST(max(l_returnflag) AS VARCHAR) AS max_s
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |       count(DISTINCT l_quantity),
+        |       CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+        |       count(DISTINCT l_shipdate),
+        |       strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+        |       strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+        |       count(DISTINCT l_linestatus),
+        |       CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      def profile(c: String, render: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        li.agg(count(lit(1)).as("n"),
+            (count(lit(1)) - count(col(c))).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            render(min(col(c))).as("min_s"), render(max(col(c))).as("max_s"))
+          .select(lit(c).as("col_name"), col("n"), col("n_null"),
+            col("n_distinct"), col("min_s"), col("max_s"))
+      profile("l_returnflag", _.cast("string"))
+        .unionByName(profile("l_quantity", _.cast("string")))
+        .unionByName(profile("l_shipdate", date_format(_, "yyyy-MM-dd HH:mm:ss")))
+        .unionByName(profile("l_linestatus", _.cast("string")))
+        .orderBy("col_name")
+    },
+
+    // ── T10: vocabulary encoding — the tokenize-to-ids step of a training
+    // pipeline: vocab = top-100 corpus words by (count desc, word), ids by
+    // rank; documents encode as (doc_id, pos, token_id), OOV = -1. The
+    // vocab is bounded (top-k, then a 100-row window for ids) and joins
+    // back as a BROADCAST — the corpus never shuffles to be encoded.
+    Q("t10_vocab_encode",
+      """WITH u AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |           FROM documents),
+        |vc AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+        |v AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS id
+        |      FROM vc ORDER BY c DESC, w LIMIT 100),
+        |tok AS (SELECT doc_id,
+        |               unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+        |               generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+        |        FROM documents WHERE doc_id <= 50)
+        |SELECT tok.doc_id, tok.pos, coalesce(v.id, -1) AS token_id
+        |FROM tok LEFT JOIN v USING (w)
+        |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val u = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      val v = u.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(100)
+        .withColumn("id",
+          row_number().over(Window.orderBy(col("c").desc, col("w"))).cast("long"))
+        .select("w", "id")
+      val tok = docs.filter(col("doc_id") <= 50)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos0", "w")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("w"))
+      tok.join(broadcast(v), Seq("w"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("id"), lit(-1L)).as("token_id"))
+        .orderBy("doc_id", "pos")
     }
   )
 }
