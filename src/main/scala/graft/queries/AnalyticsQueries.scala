@@ -27,6 +27,28 @@ import graft.{Q, Tables}
   */
 object AnalyticsQueries {
 
+  import org.apache.spark.sql.DataFrame
+
+  /** Supplier co-purchase edges from (order, supplier) incidence rows: two
+    * suppliers are linked when they share an order. The pairing self-join on
+    * `o` has (suppliers-per-order)² fan-out, so `maxOrderFanout` caps it —
+    * orders with more than `cap` qualifying suppliers are dropped BEFORE the
+    * join (the same scale guard as dd2's/dd8's document-frequency caps; the
+    * hot-order set is tiny by construction, so the anti-join broadcasts).
+    * `None` = exact. With a cap the semantics become "co-purchase edges over
+    * orders with ≤ cap qualifying suppliers", pinned in the oracle too.
+    */
+  def coPurchaseEdges(base: DataFrame, maxOrderFanout: Option[Int]): DataFrame = {
+    val b = maxOrderFanout.fold(base) { cap =>
+      val hot = base.groupBy("o").agg(count(lit(1)).as("nf"))
+        .filter(col("nf") > cap).select("o")
+      base.join(broadcast(hot), Seq("o"), "left_anti")
+    }
+    b.as("x").join(b.as("y"),
+        col("x.o") === col("y.o") && col("x.s") < col("y.s"))
+      .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
+  }
+
   def all: Seq[Q] = Seq(
 
     // ── GR2: per-node triangle counts on the supplier co-purchase graph
@@ -37,8 +59,11 @@ object AnalyticsQueries {
     Q("gr2_triangle_count",
       """WITH base AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
         |              FROM lineitem WHERE l_quantity >= 40),
+        |hot AS (SELECT o FROM base GROUP BY o HAVING count(*) > 25),
+        |bc AS (SELECT b.o, b.s FROM base b
+        |       WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.o = b.o)),
         |e AS (SELECT DISTINCT x.s AS a, y.s AS b
-        |      FROM base x JOIN base y ON x.o = y.o AND x.s < y.s),
+        |      FROM bc x JOIN bc y ON x.o = y.o AND x.s < y.s),
         |deg AS (SELECT n, count(*) AS d
         |        FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
         |dir AS (SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
@@ -53,9 +78,9 @@ object AnalyticsQueries {
         |GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 20""".stripMargin) { (s, d) =>
       val base = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
         .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
-      val e = base.as("x").join(base.as("y"),
-          col("x.o") === col("y.o") && col("x.s") < col("y.s"))
-        .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
+      // fan-out cap 25 pinned in the oracle (qualifying suppliers/order is
+      // ~7 on this corpus — AnalyticsSpec asserts the cap changes nothing)
+      val e = coPurchaseEdges(base, maxOrderFanout = Some(25))
       val deg = e.select(col("a").as("n")).unionAll(e.select(col("b")))
         .groupBy("n").agg(count(lit(1)).as("d"))
       // orient every edge from the (degree, id)-smaller endpoint: bounds
@@ -164,10 +189,12 @@ object AnalyticsQueries {
         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |FROM wc x JOIN wc y ON x.win = y.win AND x.doc_id < y.doc_id
         |ORDER BY a, b""".stripMargin) { (s, d) =>
+      // text rides THROUGH the explode (one generator + substring in the
+      // same codegen stage) — re-joining documents on doc_id to fetch it
+      // back would cost two avoidable Exchanges at 100 TB
       val w = Tables.documents(s, d).filter(length(col("text")) >= 30)
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("text"),
           explode(sequence(lit(1), length(col("text")) - 29, lit(4))).as("i"))
-        .join(Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id")
         .select(col("doc_id"), expr("substring(text, i, 30)").as("win"))
         .distinct()
       val capped = w.groupBy("win").agg(count(lit(1)).as("df"))
@@ -186,10 +213,11 @@ object AnalyticsQueries {
     // so the oracle just unrolls the rounds as CTEs.
     Q("gr3_bfs_hops",
       """WITH e0 AS MATERIALIZED (
-        |  SELECT DISTINCT o_custkey AS c, CAST(1000000 + l_suppkey AS BIGINT) AS s
+        |  SELECT DISTINCT CAST(2 * o_custkey AS BIGINT) AS c,
+        |                  CAST(2 * l_suppkey + 1 AS BIGINT) AS s
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
         |ed AS MATERIALIZED (SELECT c AS src, s AS dst FROM e0 UNION SELECT s, c FROM e0),
-        |d0 AS (SELECT CAST(1 AS BIGINT) AS node, 0 AS dist),
+        |d0 AS (SELECT CAST(2 AS BIGINT) AS node, 0 AS dist),
         |r1 AS (SELECT DISTINCT ed.dst AS node FROM ed JOIN d0 ON ed.src = d0.node),
         |a1 AS (SELECT node, dist FROM d0 UNION ALL
         |       SELECT node, 1 FROM r1 WHERE node NOT IN (SELECT node FROM d0)),
@@ -200,15 +228,17 @@ object AnalyticsQueries {
         |a3 AS (SELECT node, dist FROM a2 UNION ALL
         |       SELECT node, 3 FROM r3 WHERE node NOT IN (SELECT node FROM a2))
         |SELECT node, dist FROM a3 ORDER BY node""".stripMargin) { (s, d) =>
+      // parity-disjoint node ids (customer = 2k, supplier = 2k+1): unlike a
+      // fixed additive offset this cannot collide at ANY scale factor
       val e0 = Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"),
-          (lit(1000000L) + col("l_suppkey")).cast("long").as("s"))
+        .select((col("o_custkey") * 2).cast("long").as("c"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("s"))
         .distinct()
-      // directions are disjoint (c < 1000000 <= s): union == UNION's dedup
+      // directions are disjoint (c even, s odd): union == UNION's dedup
       val ed = e0.select(col("c").as("src"), col("s").as("dst"))
         .union(e0.select(col("s").as("src"), col("c").as("dst")))
-      val seeds = s.range(1, 2).select(col("id").as("node"))
+      val seeds = s.range(1, 2).select((col("id") * 2).as("node")) // customer 1 → 2
       graft.graph.Bfs.run(ed, seeds, maxHops = 3).orderBy("node")
     },
 
@@ -242,18 +272,31 @@ object AnalyticsQueries {
         |       CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR)
         |FROM lineitem
         |ORDER BY col_name""".stripMargin) { (s, d) =>
+      // ONE scan: a single aggregate computes every column's metrics
+      // (Spark plans the 4 distinct-aggs as one Expand, still one FileScan),
+      // then a generator stacks the 1-row result to per-column rows — at
+      // 100 TB this is 1 pass over the fact table instead of 4.
+      // Plan shape asserted in PlanSpec ("dq1: ... single scan").
       val li = Tables.lineitem(s, d)
-      def profile(c: String, render: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-        li.agg(count(lit(1)).as("n"),
-            (count(lit(1)) - count(col(c))).as("n_null"),
-            countDistinct(col(c)).as("n_distinct"),
-            render(min(col(c))).as("min_s"), render(max(col(c))).as("max_s"))
-          .select(lit(c).as("col_name"), col("n"), col("n_null"),
-            col("n_distinct"), col("min_s"), col("max_s"))
-      profile("l_returnflag", _.cast("string"))
-        .unionByName(profile("l_quantity", _.cast("string")))
-        .unionByName(profile("l_shipdate", date_format(_, "yyyy-MM-dd HH:mm:ss")))
-        .unionByName(profile("l_linestatus", _.cast("string")))
+      import org.apache.spark.sql.Column
+      val cols = Seq[(String, Column => Column)](
+        ("l_returnflag", _.cast("string")),
+        ("l_quantity", _.cast("string")),
+        ("l_shipdate", date_format(_, "yyyy-MM-dd HH:mm:ss")),
+        ("l_linestatus", _.cast("string")))
+      val aggs = count(lit(1)).as("n") +: cols.flatMap { case (c, render) =>
+        Seq((count(lit(1)) - count(col(c))).as(s"null_$c"),
+          countDistinct(col(c)).as(s"dist_$c"),
+          render(min(col(c))).as(s"min_$c"),
+          render(max(col(c))).as(s"max_$c"))
+      }
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map { case (c, _) =>
+          struct(lit(c).as("col_name"), col("n"), col(s"null_$c").as("n_null"),
+            col(s"dist_$c").as("n_distinct"), col(s"min_$c").as("min_s"),
+            col(s"max_$c").as("max_s"))
+        }: _*)).as("r"))
+        .select(col("r.*"))
         .orderBy("col_name")
     },
 
@@ -263,21 +306,21 @@ object AnalyticsQueries {
     // vocab is bounded (top-k, then a 100-row window for ids) and joins
     // back as a BROADCAST — the corpus never shuffles to be encoded.
     Q("t10_vocab_encode",
-      """WITH u AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      """WITH u AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) AS w
         |           FROM documents),
         |vc AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
         |v AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS id
         |      FROM vc ORDER BY c DESC, w LIMIT 100),
         |tok AS (SELECT doc_id,
-        |               unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
-        |               generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+        |               unnest(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) AS w,
+        |               generate_subscripts(regexp_split_to_array(trim(text), '[ \t\n\f\r]+'), 1) AS pos
         |        FROM documents WHERE doc_id <= 50)
         |SELECT tok.doc_id, tok.pos, coalesce(v.id, -1) AS token_id
         |FROM tok LEFT JOIN v USING (w)
         |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val u = docs.select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("w"))
+        explode(split(trim(col("text")), "[ \\t\\n\\f\\r]+")).as("w"))
       val v = u.groupBy("w").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("w")).limit(100)
         .withColumn("id",
@@ -285,7 +328,7 @@ object AnalyticsQueries {
         .select("w", "id")
       val tok = docs.filter(col("doc_id") <= 50)
         .select(col("doc_id"),
-          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos0", "w")))
+          posexplode(split(trim(col("text")), "[ \\t\\n\\f\\r]+")).as(Seq("pos0", "w")))
         .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("w"))
       tok.join(broadcast(v), Seq("w"), "left")
         .select(col("doc_id"), col("pos"),

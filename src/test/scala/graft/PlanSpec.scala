@@ -100,6 +100,48 @@ class PlanSpec extends SparkSpec {
       s"window join degenerated to a nested loop:\n$p")
   }
 
+  test("dd8: text rides through the explode — no documents re-join on doc_id") {
+    // the window build must NOT re-join documents to fetch text back: with
+    // text carried through the generator, each of the 4 DAG references to
+    // the window table contains exactly ONE documents scan (a re-join would
+    // double every one of them to 8 and add an Exchange pair per reference)
+    val p = plan("dd8_substring_dup")
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans <= 4, s"documents re-joined in the window build ($scans scans):\n$p")
+  }
+
+  test("dq1: column profiling is ONE pass — a single FileScan of lineitem") {
+    val p = plan("dq1_expectations")
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans == 1, s"profiling scans lineitem $scans times:\n$p")
+  }
+
+  test("t10: vocab joins back to the corpus as a broadcast (corpus never shuffles to encode)") {
+    val p = plan("t10_vocab_encode")
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+  }
+
+  test("co1: cohort join reuses the min-day aggregate's user_id partitioning") {
+    // ev.groupBy(user_id) and the join back are on the SAME key: the agg's
+    // output feeds the SortMergeJoin directly, so the plan carries exactly
+    // two hashpartitioning(user_id) exchanges (agg input + the raw ev join
+    // side) — a third would mean the co-partitioning was lost. AQE and
+    // auto-broadcast off so the join genuinely shuffles at spec scale.
+    val keys = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = plan("co1_retention_cohorts")
+      val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(p.contains("SortMergeJoin"), s"no shuffle join — vacuous:\n$p")
+      assert(n == 2, s"expected 2 user_id exchanges, got $n:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("sim2b: label-partitioned IVF probe prunes partitions dynamically") {
     val p = plan("sim2b_ivf_partitioned").toLowerCase
     assert(p.contains("dynamicpruning"),
