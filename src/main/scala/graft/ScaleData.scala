@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic 10× replication of a testdata SF dir, for the scale probe
+  * (BENCH_SCALE.md): `runMain graft.ScaleData [srcDir] [outDir] [reps]`.
+  *
+  * Replica r offsets every key space by r * (max_key + 1), so referential
+  * integrity holds within each replica (orders↔lineitem↔supplier↔customer↔
+  * part joins land exactly as in the base data) and key spaces never collide
+  * across replicas. region/nation are shared dimensions and stay single-copy
+  * (nationkey columns are not offset).
+  *
+  * Content columns are perturbed per replica so data DENSITIES scale the way
+  * a real 10× corpus would, instead of every row gaining 9 identical twins:
+  *  - documents.text is letter-rotated (codegen'd `translate`, replica 0 =
+  *    identity) — token/shingle distributions keep their in-replica shape,
+  *    but replicas are not near-duplicates of each other, so dedup pair
+  *    density stays that of the base corpus;
+  *  - embeddings.embedding is cyclically shifted by r positions (a
+  *    norm-preserving permutation) so ANN neighborhoods don't become
+  *    10-way exact ties.
+  * Everything is a pure column function of the source rows — no rand(), so
+  * the synthesized data is bit-identical across runs.
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("scaledata/sf1")
+    val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.build("graft-scaledata", cpus.toInt)
+    // events.ts is parquet TIMESTAMP(NANOS) (see Tables.events): read the
+    // nanos as a raw long and write them back as BIGINT — Tables.events'
+    // `ts div 1000` accepts either representation
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def table(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def keySpan(t: String, c: String): Long =
+      table(t).agg(max(col(c))).head().getLong(0) + 1L
+
+    val ok = keySpan("orders", "o_orderkey")
+    val ck = keySpan("customer", "c_custkey")
+    val sk = keySpan("supplier", "s_suppkey")
+    val pk = keySpan("part", "p_partkey")
+    val dk = keySpan("documents", "doc_id")
+    val vk = keySpan("embeddings", "vec_id")
+    val ek = keySpan("events", "event_id")
+    val uk = keySpan("events", "user_id")
+
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def rot(s: String, r: Int) = s.drop(r % s.length) + s.take(r % s.length)
+
+    // per-replica transform of each table; offsets are (column -> span)
+    def replicate(t: String, offsets: Map[String, Long],
+                  perturb: (DataFrame, Int) => DataFrame = (df, _) => df,
+                  parts: Int = 32): Unit = {
+      val base = table(t)
+      val rep = (0 until reps).map { r =>
+        val shifted = offsets.foldLeft(base) { case (df, (c, span)) =>
+          df.withColumn(c, col(c) + lit(r * span))
+        }
+        perturb(shifted, r)
+      }.reduce(_ unionByName _)
+      rep.repartition(parts).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaledata] $t: ${reps}x written")
+    }
+
+    // shared dims: single copy
+    Seq("region", "nation").foreach { t =>
+      table(t).coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaledata] $t: copied")
+    }
+
+    replicate("customer", Map("c_custkey" -> ck), parts = 8)
+    replicate("supplier", Map("s_suppkey" -> sk), parts = 4)
+    replicate("part", Map("p_partkey" -> pk), parts = 8)
+    replicate("orders", Map("o_orderkey" -> ok, "o_custkey" -> ck))
+    replicate("lineitem",
+      Map("l_orderkey" -> ok, "l_partkey" -> pk, "l_suppkey" -> sk))
+    replicate("events", Map("event_id" -> ek, "user_id" -> uk))
+    replicate("documents", Map("doc_id" -> dk), (df, r) =>
+      df.withColumn("text",
+        translate(col("text"), lower + upper, rot(lower, r) + rot(upper, r))),
+      parts = 16)
+    replicate("embeddings", Map("vec_id" -> vk), (df, r) =>
+      df.withColumn("embedding", expr(
+        s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+          s"slice(embedding, 1, $r))")),
+      parts = 8)
+
+    spark.stop()
+  }
+}

@@ -30,24 +30,39 @@ object AnalyticsQueries {
   import org.apache.spark.sql.DataFrame
 
   /** Supplier co-purchase edges from (order, supplier) incidence rows: two
-    * suppliers are linked when they share an order. The pairing self-join on
-    * `o` has (suppliers-per-order)² fan-out, so `maxOrderFanout` caps it —
-    * orders with more than `cap` qualifying suppliers are dropped BEFORE the
-    * join (the same scale guard as dd2's/dd8's document-frequency caps; the
-    * hot-order set is tiny by construction, so the anti-join broadcasts).
-    * `None` = exact. With a cap the semantics become "co-purchase edges over
-    * orders with ≤ cap qualifying suppliers", pinned in the oracle too.
+    * suppliers are linked when they share an order. The naive pairing
+    * self-join on `o` has (suppliers-per-order)² fan-out and an unbounded
+    * join group on a hot order, so `maxOrderFanout` caps it — orders with
+    * more than `cap` qualifying suppliers are dropped (the same scale guard
+    * as dd2's/dd8's document-frequency caps), pinned in the oracle too.
+    *
+    * With a cap, pair generation needs NO join at all: one keyed shuffle
+    * collects each order's (deduped, sorted) supplier set, the size filter
+    * applies the cap, and pairs explode narrowly at O(cap²) per order —
+    * 2 exchanges total vs the self-join's 4, and measured FASTER than the
+    * uncapped join build at sf0.1. Post-filter group state is ≤ cap
+    * elements; pre-filter, a pathological order's collect_set buffer is
+    * bounded by true fan-out (map-side partial dedup keeps per-task buffers
+    * partition-sized) — under adversarial fan-out (≫10⁶ suppliers in ONE
+    * order) pre-filter with a windowed count before collecting.
+    *
+    * `None` = exact: every co-purchase pair via the inverted-index
+    * self-join, join groups unbounded.
     */
-  def coPurchaseEdges(base: DataFrame, maxOrderFanout: Option[Int]): DataFrame = {
-    val b = maxOrderFanout.fold(base) { cap =>
-      val hot = base.groupBy("o").agg(count(lit(1)).as("nf"))
-        .filter(col("nf") > cap).select("o")
-      base.join(broadcast(hot), Seq("o"), "left_anti")
+  def coPurchaseEdges(base: DataFrame, maxOrderFanout: Option[Int]): DataFrame =
+    maxOrderFanout match {
+      case Some(cap) =>
+        base.groupBy("o").agg(sort_array(collect_set(col("s"))).as("ss"))
+          .filter(size(col("ss")) <= cap)
+          .select(explode(col("ss")).as("a"), col("ss"))
+          .select(col("a"), explode(col("ss")).as("b"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+      case None =>
+        base.as("x").join(base.as("y"),
+            col("x.o") === col("y.o") && col("x.s") < col("y.s"))
+          .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
     }
-    b.as("x").join(b.as("y"),
-        col("x.o") === col("y.o") && col("x.s") < col("y.s"))
-      .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
-  }
 
   def all: Seq[Q] = Seq(
 
@@ -76,8 +91,10 @@ object AnalyticsQueries {
         |FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
         |      UNION ALL SELECT c FROM tri)
         |GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 20""".stripMargin) { (s, d) =>
+      // no pre-distinct: the capped path's collect_set dedups (o, s) itself,
+      // so raw incidence rows save an exchange
       val base = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
-        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s")).distinct()
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
       // fan-out cap 25 pinned in the oracle (qualifying suppliers/order is
       // ~7 on this corpus — AnalyticsSpec asserts the cap changes nothing)
       val e = coPurchaseEdges(base, maxOrderFanout = Some(25))
