@@ -351,6 +351,204 @@ object AnalyticsQueries {
         .select(col("doc_id"), col("pos"),
           coalesce(col("id"), lit(-1L)).as("token_id"))
         .orderBy("doc_id", "pos")
+    },
+
+    // ── W6: batch sessionization — gap-based session ids (new session when
+    // a user is idle > 30 min), the batch twin of st2's streaming session
+    // window. Two window passes over the SAME (user_id, sec, event_id)
+    // ordering — one shuffle on user_id total — then a keyed rollup.
+    // Timestamps travel as floor-seconds BIGINTs in both engines (Spark
+    // unix_timestamp vs DuckDB date_diff from epoch), sidestepping ns/µs
+    // representation drift entirely.
+    Q("w6_sessionize",
+      """WITH e AS (SELECT user_id, event_id,
+        |             date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |                       CAST(ts AS TIMESTAMP)) AS sec
+        |           FROM events),
+        |x AS (SELECT user_id, event_id, sec,
+        |             CASE WHEN lag(sec) OVER w IS NULL
+        |                    OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |s AS (SELECT user_id, sec,
+        |             CAST(sum(is_new) OVER (PARTITION BY user_id
+        |                                    ORDER BY sec, event_id) AS BIGINT) AS session_id
+        |      FROM x)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(sec) AS start_s, max(sec) AS end_s
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      e.withColumn("is_new",
+          when(lag(col("sec"), 1).over(w).isNull ||
+            col("sec") - lag(col("sec"), 1).over(w) > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(w).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("sec")).as("start_s"), max(col("sec")).as("end_s"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // ── T11: bigram-LM quality scoring (the CCNet-style perplexity filter
+    // of a training pipeline): an add-one-smoothed bigram model built FROM
+    // the corpus scores each document by mean log-probability of its
+    // bigrams. Bigram formation is narrow (transform over the token array,
+    // no self-join); the LM is a keyed count table; docs pre-aggregate
+    // per (doc, bigram) before the LM join so the join input is distinct
+    // bigrams per doc, not token positions (map-side combine). Context
+    // totals and vocab size travel as 1-row broadcasts. Per-bigram log
+    // probs round to 6 decimals in both engines (the t7/t9 contract) so
+    // the doc average hashes identically.
+    Q("t11_bigram_lm_score",
+      """WITH toks AS (SELECT doc_id,
+        |                regexp_split_to_array(trim(text), '[ \t\n\f\r]+') AS t
+        |              FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t)),
+        |                               i -> t[i] || ' ' || t[i+1])) AS b
+        |       FROM toks WHERE len(t) >= 2),
+        |bc AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1),
+        |ctx AS (SELECT split_part(b, ' ', 1) AS w, sum(cb) AS cw FROM bc GROUP BY 1),
+        |vv AS (SELECT count(*) AS v FROM ctx),
+        |lp AS (SELECT bc.b,
+        |              CAST(round(ln((bc.cb + 1.0) / (ctx.cw + vv.v)) * 1e6) AS BIGINT) AS lpm
+        |       FROM bc JOIN ctx ON ctx.w = split_part(bc.b, ' ', 1) CROSS JOIN vv),
+        |db AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2)
+        |SELECT db.doc_id, CAST(sum(db.n) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(db.n * lp.lpm) AS BIGINT) AS score_micro
+        |FROM db JOIN lp USING (b)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        split(trim(col("text")), "[ \\t\\n\\f\\r]+").as("t"))
+      val bg = toks.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(t, 1, size(t)-1), (x, i) -> concat(x, ' ', t[i+1]))")).as("b"))
+      val bc = bg.groupBy("b").agg(count(lit(1)).as("cb"))
+      val ctx = bc.groupBy(expr("split_part(b, ' ', 1)").as("w"))
+        .agg(sum(col("cb")).as("cw"))
+      val vv = ctx.agg(count(lit(1)).as("v"))
+      // per-bigram log prob in INTEGER micro-units: the doc score is then an
+      // exact integer sum — a rounded double average can land on a .5e-6
+      // boundary where engines disagree in the last digit
+      val lp = bc.join(ctx, expr("split_part(b, ' ', 1)") === col("w"))
+        .crossJoin(broadcast(vv))
+        .select(col("b"),
+          round(log((col("cb") + 1.0) / (col("cw") + col("v"))) * 1e6)
+            .cast("long").as("lpm"))
+      val db = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      db.join(lp, "b").groupBy("doc_id")
+        .agg(sum(col("n")).cast("long").as("n_bigrams"),
+          sum(col("n") * col("lpm")).cast("long").as("score_micro"))
+        .orderBy("doc_id")
+    },
+
+    // ── DQ2: cross-table referential expectations — the multi-table half
+    // of dq1's single-table profiling: orphan foreign keys, duplicate
+    // primary keys, and a deliberately-failing check (events.user_id is a
+    // different id space than customer) proving violations are counted,
+    // not just asserted zero. Each check is one anti-join (or keyed dup
+    // count) + a 1-row count — at 100 TB the dim side broadcasts or a
+    // runtime bloom prunes the fact shuffle (asserted for joins generally
+    // in PlanSpec's bloom test).
+    Q("dq2_referential",
+      """SELECT 'c1_lineitem_orphan_order' AS check_name, count(*) AS n_bad
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'c2_order_orphan_customer', count(*)
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'c3_lineitem_orphan_part', count(*)
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |UNION ALL
+        |SELECT 'c4_lineitem_orphan_supplier', count(*)
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        |UNION ALL
+        |SELECT 'c5_duplicate_orderkey', count(*)
+        |FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'c6_events_user_not_customer', count(*)
+        |FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+        |ORDER BY check_name""".stripMargin) { (s, d) =>
+      // the three lineitem checks ride ONE scan (dq1's single-pass lesson):
+      // left joins against the three pk dims + conditional counts, stacked
+      // to rows. Dim keys are primary keys (c5 asserts o_orderkey; TPC-H
+      // part/supplier pks likewise unique) so the left joins preserve
+      // row counts and each NULL right key IS one orphan fact row.
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_suppkey")
+      val liChecks = li
+        .join(Tables.orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .join(Tables.part(s, d).select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left")
+        .join(Tables.supplier(s, d).select(col("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left")
+        .agg(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("c3"),
+          sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("c4"))
+        .select(explode(array(
+          struct(lit("c1_lineitem_orphan_order").as("check_name"), col("c1").as("n_bad")),
+          struct(lit("c3_lineitem_orphan_part").as("check_name"), col("c3").as("n_bad")),
+          struct(lit("c4_lineitem_orphan_supplier").as("check_name"), col("c4").as("n_bad"))))
+          .as("r"))
+        .select(col("r.*"))
+      def orphan(label: String, fact: DataFrame, factKey: String,
+                 dim: DataFrame, dimKey: String): DataFrame =
+        fact.join(dim, col(factKey) === col(dimKey), "left_anti")
+          .agg(count(lit(1)).as("n_bad"))
+          .select(lit(label).as("check_name"), col("n_bad"))
+      val dup = Tables.orders(s, d).groupBy("o_orderkey")
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit("c5_duplicate_orderkey").as("check_name"), col("n_bad"))
+      liChecks
+        .unionByName(orphan("c2_order_orphan_customer",
+          Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d).select("c_custkey"), "c_custkey"))
+        .unionByName(dup)
+        .unionByName(orphan("c6_events_user_not_customer",
+          Tables.events(s, d), "user_id",
+          Tables.customer(s, d).select("c_custkey"), "c_custkey"))
+        .orderBy("check_name")
+    },
+
+    // ── SP5: temperature-based source mixture sampling (the DoReMi/Pile-
+    // style domain reweighting step): target share per source ∝ count^0.5,
+    // realized by deterministic per-row hash thresholds (sp4's md5-bucket
+    // device) so the SAME rows are chosen on every run, engine, and
+    // partitioning. Per-source rates are a tiny broadcast; the corpus pass
+    // is a narrow filter — one aggregation + one map over the data.
+    Q("sp5_source_mixture",
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT source, n, sqrt(n) AS wt FROM c),
+        |tw AS (SELECT sum(wt) AS tot FROM w),
+        |r AS (SELECT source, least(1.0, (200.0 * wt / tot) / n) AS rate
+        |      FROM w CROSS JOIN tw),
+        |b AS (SELECT doc_id, source,
+        |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |+ (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |+ (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |+ (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bkt
+        |FROM documents)
+        |SELECT b.doc_id, b.source FROM b JOIN r USING (source)
+        |WHERE (b.bkt + 0.5) / 65536.0 < r.rate
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val c = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      val w = c.withColumn("wt", sqrt(col("n")))
+      val tw = w.agg(sum(col("wt")).as("tot"))
+      val r = w.crossJoin(broadcast(tw)).select(col("source"),
+        least(lit(1.0), (lit(200.0) * col("wt") / col("tot")) / col("n")).as("rate"))
+      val b = docs.select(col("doc_id"), col("source"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int").as("bkt"))
+      b.join(broadcast(r), "source")
+        .filter((col("bkt") + 0.5) / 65536.0 < col("rate"))
+        .select("doc_id", "source").orderBy("doc_id")
     }
   )
 }

@@ -1101,16 +1101,19 @@ object RelationalQueries {
     Q("gr1_pagerank",
       graft.graph.PageRank.unrolledSql(
         """WITH e0 AS MATERIALIZED (
-          |  SELECT DISTINCT o_custkey AS c, CAST(1000000 + l_suppkey AS BIGINT) AS s
+          |  SELECT DISTINCT CAST(2 * o_custkey AS BIGINT) AS c,
+          |                  CAST(2 * l_suppkey + 1 AS BIGINT) AS s
           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
           |ed AS MATERIALIZED (SELECT c AS src, s AS dst FROM e0 UNION SELECT s, c FROM e0)""".stripMargin,
         iters = 3, topK = 20)) { (s, d) =>
+      // parity-disjoint node ids (customer = 2k, supplier = 2k+1): a fixed
+      // additive offset collides once custkey reaches it (sf >= ~6.7)
       val e0 = orders(s, d)
         .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"),
-          (lit(1000000L) + col("l_suppkey")).cast("long").as("s"))
+        .select((col("o_custkey") * 2).cast("long").as("c"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("s"))
         .distinct()
-      // the two directions are disjoint (c < 1000000 <= s), so plain union
+      // the two directions are disjoint (c even, s odd), so plain union
       // equals SQL UNION's dedup here
       val ed = e0.select(col("c").as("src"), col("s").as("dst"))
         .union(e0.select(col("s").as("src"), col("c").as("dst")))

@@ -142,6 +142,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dq2: the three lineitem referential checks share ONE lineitem scan") {
+    val p = plan("dq2_referential")
+    val liScans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(liScans == 1,
+      s"lineitem scanned $liScans times for the fact checks (want 1):\n$p")
+  }
+
+  test("w6: sessionization is ONE user_id shuffle (windows + rollup co-partition)") {
+    // both window passes and the (user_id, session_id) rollup cluster on
+    // user_id — the plan carries exactly one hashpartitioning(user_id)
+    // exchange; a second would mean the rollup lost the window partitioning
+    val keys = Seq("spark.sql.adaptive.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = plan("w6_sessionize")
+      val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(n == 1, s"expected 1 user_id exchange, got $n:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("sp5: per-source rates broadcast — the corpus never shuffles to be sampled") {
+    val p = plan("sp5_source_mixture")
+    assert(p.contains("BroadcastHashJoin"), s"rates not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled against rates:\n$p")
+  }
+
   test("sim2b: label-partitioned IVF probe prunes partitions dynamically") {
     val p = plan("sim2b_ivf_partitioned").toLowerCase
     assert(p.contains("dynamicpruning"),
