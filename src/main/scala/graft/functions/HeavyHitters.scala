@@ -68,6 +68,10 @@ object HeavyHitters {
   /** Two-pass exact top-k: MG candidates → exact counts restricted to the
     * candidate set (broadcast) → top-k under a total order. No driver-side
     * state: the candidate set flows as a (tiny) DataFrame.
+    *
+    * NOT self-verifying: the result equals the exact top-k only when
+    * count(k-th item) > n/capacity. Use [[topkExactCertified]] when the
+    * caller needs that guarantee CHECKED rather than assumed.
     */
   def topkExact(words: DataFrame, wCol: String, k: Int, capacity: Int): DataFrame = {
     val cands = words.agg(misraGries(capacity)(col(wCol)).as("m"))
@@ -75,5 +79,38 @@ object HeavyHitters {
     words.join(broadcast(cands), wCol)
       .groupBy(wCol).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(wCol)).limit(k)
+  }
+
+  /** Self-certifying exact top-k with adaptive capacity. After the exact
+    * second pass, the MG guarantee is CHECKED: every non-candidate's true
+    * count is ≤ n/capacity, so if the k-th candidate count exceeds that
+    * bound, no non-candidate can belong to the top-k — the result is
+    * provably exact (ties included: any non-candidate is strictly below
+    * the k-th count, so the (n desc, word) total order is unaffected).
+    * If the certificate fails, retry with 8× capacity.
+    *
+    * This is the scale lesson the sf1 probe taught: a FIXED capacity
+    * silently loses the guarantee when the corpus grows (the top-k counts
+    * stay put while n/capacity climbs past them — hh1 returned wrong rows
+    * at 10× data before this). Adaptive capacity pays O(log) extra rounds
+    * only when the data's skew demands it; the certificate is exact
+    * arithmetic on measured values, never an assumption. Worst case
+    * (uniform data, capacity reaches ~n/count_k) degenerates toward the
+    * plain exact groupBy — the honest cost of demanding exactness.
+    */
+  def topkExactCertified(words: DataFrame, wCol: String, k: Int,
+                         capacity0: Int = 64, maxRounds: Int = 6): DataFrame = {
+    val n = words.count()
+    var cap = capacity0
+    var rounds = 0
+    while (true) {
+      val topk = topkExact(words, wCol, k, cap)
+      rounds += 1
+      val kth = topk.agg(min(col("n"))).head()
+      val kthCount = if (kth.isNullAt(0)) 0L else kth.getLong(0)
+      if (kthCount > n / cap || rounds >= maxRounds) return topk
+      cap *= 8
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

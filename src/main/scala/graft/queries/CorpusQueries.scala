@@ -265,17 +265,20 @@ object CorpusQueries {
     },
 
     // ── HH1: vocabulary heavy hitters via the two-pass Misra-Gries top-k
-    // (graft.functions.HeavyHitters). The oracle is the plain exact top-10;
-    // capacity 64 puts every top item above the n/capacity survival bound,
-    // so the bounded-memory pass is provably exact here (the approximate
-    // sub-threshold regime is covered in HeavyHittersSpec).
+    // (graft.functions.HeavyHitters), SELF-CERTIFIED: after the exact
+    // second pass the MG survival bound is checked (k-th count > n/cap) and
+    // capacity adapts 8x until the top-k is provably exact. A fixed
+    // capacity passed the oracle at sf0.1 but silently returned wrong rows
+    // at the 10x probe (vocabulary grew, top counts did not — the
+    // guarantee quietly expired); the certificate makes that impossible at
+    // any scale. Approximate sub-threshold regime: HeavyHittersSpec.
     Q("hh1_heavy_hitters",
       """WITH u AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
         |SELECT w, count(*) AS n FROM u GROUP BY 1
         |ORDER BY n DESC, w LIMIT 10""".stripMargin) { (s, d) =>
       val words = Tables.documents(s, d)
         .select(explode(split(trim(col("text")), "\\s+")).as("w"))
-      graft.functions.HeavyHitters.topkExact(words, "w", k = 10, capacity = 64)
+      graft.functions.HeavyHitters.topkExactCertified(words, "w", k = 10)
     },
 
     // ── RD1: PII redaction (graft.text.Redact) — emails/IPs/SSNs/phones

@@ -33,4 +33,19 @@ class HeavyHittersSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("m", 5L), ("x", 5L), ("z", 5L)))
   }
+
+  test("certified top-k self-corrects when the starting capacity is too small") {
+    // the sf1 regression in miniature: heads are NOT above n/capacity0, so
+    // plain two-pass MG at capacity0 may return wrong rows — the certified
+    // variant detects the failed guarantee (k-th count <= n/cap) and grows
+    // capacity until the result is provably exact
+    val words = (Seq.fill(60)("a") ++ Seq.fill(50)("b") ++ Seq.fill(40)("c")
+      ++ (1 to 3000).map(i => s"tail$i"))
+    val df = words.toDF("w").repartition(8)
+    // n = 3150, capacity0 = 2 → n/cap = 1575 >> 60: certificate must fail
+    // and force growth (2 → 16 → 128; 3150/128 = 24 < 40 certifies)
+    val got = HeavyHitters.topkExactCertified(df, "w", k = 3, capacity0 = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 60L), ("b", 50L), ("c", 40L)))
+  }
 }

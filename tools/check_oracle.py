@@ -33,11 +33,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+def run(views, out_dir):
+    """Compare every oracle in out_dir/oracle_sql.json against DuckDB views.
+
+    `views` maps table name -> SELECT defining it (lets callers point at
+    single-file parquet, directory-parquet globs, or transformed columns).
+    """
     con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    for t, src in views.items():
+        con.sql(f"CREATE VIEW {t} AS {src}")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_ok = n_bad = 0
@@ -87,6 +91,11 @@ def main():
             n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} failed, {len(oracles)} total")
     sys.exit(1 if n_bad else 0)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    run({t: f"SELECT * FROM '{sf_dir}/{t}.parquet'" for t in TABLES}, out_dir)
 
 
 if __name__ == "__main__":

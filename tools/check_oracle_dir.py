@@ -1,0 +1,30 @@
+#!/usr/bin/env python3
+"""check_oracle.py variant for SYNTHESIZED scale dirs (graft.ScaleData output).
+
+Differences from the driver-mimicking tool:
+- tables are directory-parquet (Spark writes `t.parquet/` part files), so
+  views read a glob;
+- ScaleData writes events.ts as BIGINT nanoseconds (Spark cannot write
+  parquet TIMESTAMP(NANOS)); the view converts to TIMESTAMP at microsecond
+  precision -- the same truncation graft.Tables.events applies -- so every
+  oracle\'s `CAST(ts AS TIMESTAMP)` behaves identically to the driver corpus.
+
+Usage: python3 tools/check_oracle_dir.py <sfDir> <verifyOutDir>
+"""
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+from check_oracle import TABLES, run  # noqa: E402
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    views = {t: f"SELECT * FROM \'{sf_dir}/{t}.parquet/*.parquet\'" for t in TABLES}
+    views["events"] = (
+        "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+        f"FROM \'{sf_dir}/events.parquet/*.parquet\'")
+    run(views, out_dir)
+
+
+if __name__ == "__main__":
+    main()
