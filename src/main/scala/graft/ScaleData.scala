@@ -52,6 +52,19 @@ object ScaleData {
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
     def rot(s: String, r: Int) = s.drop(r % s.length) + s.take(r % s.length)
+    // 104 distinct letter bijections (rotation × case-swap × reversal), so
+    // up to 104 replicas stay pairwise non-near-duplicate. r < 26 is the
+    // plain rotation — identical to the original sf1 generation, so
+    // previously measured sf1 artifacts remain reproducible bit-for-bit.
+    def perm(r: Int): String = {
+      val (lo, up) = (rot(lower, r % 26), rot(upper, r % 26))
+      (r / 26) % 4 match {
+        case 0 => lo + up
+        case 1 => up + lo
+        case 2 => lo.reverse + up.reverse
+        case _ => up.reverse + lo.reverse
+      }
+    }
 
     // per-replica transform of each table; offsets are (column -> span)
     def replicate(t: String, offsets: Map[String, Long],
@@ -82,14 +95,17 @@ object ScaleData {
       Map("l_orderkey" -> ok, "l_partkey" -> pk, "l_suppkey" -> sk))
     replicate("events", Map("event_id" -> ek, "user_id" -> uk))
     replicate("documents", Map("doc_id" -> dk), (df, r) =>
-      df.withColumn("text",
-        translate(col("text"), lower + upper, rot(lower, r) + rot(upper, r))),
+      df.withColumn("text", translate(col("text"), lower + upper, perm(r))),
       parts = 16)
-    replicate("embeddings", Map("vec_id" -> vk), (df, r) =>
+    // cyclic shift by r mod dim; sign-flip once the shifts wrap, so every
+    // replica's vectors stay distinct (both transforms preserve norms)
+    replicate("embeddings", Map("vec_id" -> vk), (df, r) => {
+      val k = r % 64
+      val sign = if ((r / 64) % 2 == 1) "-x" else "x"
       df.withColumn("embedding", expr(
-        s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
-          s"slice(embedding, 1, $r))")),
-      parts = 8)
+        s"transform(concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
+          s"slice(embedding, 1, $k)), x -> $sign)"))
+    }, parts = 8)
 
     spark.stop()
   }
