@@ -549,6 +549,36 @@ object AnalyticsQueries {
       b.join(broadcast(r), "source")
         .filter((col("bkt") + 0.5) / 65536.0 < col("rate"))
         .select("doc_id", "source").orderBy("doc_id")
+    },
+
+    // ── EMB1: int8 vector quantization — the storage-compression step of
+    // an embedding pipeline (4× smaller than float32; the per-vector norm
+    // is the dequantization scale). Pure narrow maps, no shuffle: norm =
+    // sequential fold over the array (identical accumulation order in both
+    // engines — Spark `aggregate` with 0.0 init ≡ DuckDB `list_reduce`,
+    // since 0+x² == x² exactly), elements round away-from-zero in both.
+    // The quantized vector travels as a comma-joined string so the hash
+    // compare is representation-exact.
+    Q("emb1_quantize_int8",
+      """WITH n AS (SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  FROM embeddings)
+        |SELECT vec_id, round(norm, 6) AS norm_r,
+        |  CASE WHEN norm = 0 THEN '' ELSE
+        |    array_to_string(list_transform(embedding,
+        |      x -> CAST(CAST(round(CAST(x AS DOUBLE) / norm * 127) AS INTEGER) AS VARCHAR)), ',')
+        |  END AS q8
+        |FROM n ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("norm", expr(
+          "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+        .select(col("vec_id"), round(col("norm"), 6).as("norm_r"),
+          when(col("norm") === 0.0, lit("")).otherwise(expr(
+            "array_join(transform(embedding, " +
+              "x -> CAST(CAST(round(CAST(x AS DOUBLE) / norm * 127) AS INT) AS STRING)), ',')"))
+            .as("q8"))
+        .orderBy("vec_id")
     }
   )
 }
