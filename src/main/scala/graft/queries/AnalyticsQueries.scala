@@ -551,6 +551,24 @@ object AnalyticsQueries {
         .select("doc_id", "source").orderBy("doc_id")
     },
 
+    // ── BPE1: tokenizer training — the first 5 BPE merges over the corpus
+    // word-count vocabulary (graft.text.Bpe). All rounds run on the VOCAB
+    // (|distinct words| rows), never the corpus; greedy-leftmost same-
+    // symbol runs resolve via gaps-and-islands windows, structurally
+    // identical in the unrolled DuckDB oracle.
+    Q("bpe1_train_merges",
+      graft.text.Bpe.unrolledSql(
+        """SELECT w AS word, count(*) AS cnt FROM (
+          |  SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) AS w
+          |  FROM documents) WHERE w <> '' GROUP BY 1""".stripMargin,
+        k = 5)) { (s, d) =>
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "[ \\t\\n\\f\\r]+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w").as("word")).agg(count(lit(1)).as("cnt"))
+      graft.text.Bpe.trainMerges(vocab, k = 5).orderBy("merge_rank")
+    },
+
     // ── EMB1: int8 vector quantization — the storage-compression step of
     // an embedding pipeline (4× smaller than float32; the per-vector norm
     // is the dequantization scale). Pure narrow maps, no shuffle: norm =

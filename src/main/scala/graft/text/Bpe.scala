@@ -1,0 +1,136 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training (Sennrich et al. 2016) as relational
+  * rounds — the tokenizer-training step of an LLM data pipeline.
+  *
+  * BPE trains on the WORD-COUNT VOCABULARY, not the raw corpus: one row per
+  * distinct word with its frequency, each word a sequence of symbols
+  * (initially characters). A round (1) counts adjacent symbol pairs
+  * weighted by word frequency, (2) picks the best pair under a TOTAL order
+  * (count desc, then pair lexicographic — ties must break identically in
+  * every engine), (3) merges greedy-leftmost occurrences of that pair.
+  *
+  * Greedy-leftmost is the only subtle part: occurrences of (x, y) can
+  * overlap only when x == y (a run like "aaa" has candidate starts 0 and 1
+  * but BPE merges only even offsets within the run). Relationally that is
+  * gaps-and-islands: among candidate start positions, consecutive runs
+  * form islands (pos - row_number), and a start survives iff its 0-based
+  * offset within its island is even. For x != y candidates are never
+  * adjacent, every island has size 1, and the formula degenerates to
+  * "merge all" — one code path covers both cases, in Spark and in the
+  * DuckDB oracle (the same windows exist in both engines).
+  *
+  * Scale: all rounds operate on the vocabulary (|distinct words| rows,
+  * shuffles keyed on word), never the corpus — the corpus is touched once
+  * for the word counts. This is why real BPE trainers handle 100 TB of
+  * text: the vocab table is bounded.
+  */
+object Bpe {
+
+  /** (word, cnt) → (word, cnt, pos, sym): one row per character. */
+  def initialSymbols(vocab: DataFrame): DataFrame =
+    vocab.select(col("word"), col("cnt"),
+      posexplode(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as(Seq("pos", "sym")))
+
+  /** Highest-frequency adjacent pair: 1 row (x, y, pair_cnt), total order. */
+  def bestPair(sym: DataFrame): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    sym.withColumn("nxt", lead(col("sym"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("x"), col("nxt").as("y"))
+      .agg(sum(col("cnt")).as("pair_cnt"))
+      .orderBy(col("pair_cnt").desc, col("x"), col("y")).limit(1)
+  }
+
+  /** Merge greedy-leftmost occurrences of `best`'s (x, y) in every word. */
+  def mergeBest(sym: DataFrame, best: DataFrame): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    val cand = sym.withColumn("nxt", lead(col("sym"), 1).over(w))
+      .crossJoin(broadcast(best.select("x", "y")))
+      .filter(col("sym") === col("x") && col("nxt") === col("y"))
+    // islands of consecutive candidate starts; keep even offsets only
+    val keep = cand
+      .withColumn("island", col("pos") - row_number().over(w))
+      .withColumn("off",
+        row_number().over(Window.partitionBy("word", "island").orderBy("pos")) - 1)
+      .filter(col("off") % 2 === 0)
+      .select(col("word").as("kw"), col("pos").as("kp"))
+    val consumed = keep.select(col("kw"), col("kp"))
+      .unionAll(keep.select(col("kw"), (col("kp") + 1).as("kp")))
+    val merged = sym.join(keep,
+        col("word") === col("kw") && col("pos") === col("kp"))
+      .crossJoin(broadcast(best.select("x", "y")))
+      .select(col("word"), col("cnt"), col("pos"), concat(col("x"), col("y")).as("sym"))
+    val survivors = sym.join(consumed,
+      col("word") === col("kw") && col("pos") === col("kp"), "left_anti")
+    survivors.unionByName(merged)
+      .withColumn("pos", row_number().over(w))
+  }
+
+  /** Top `k` merges: (merge_rank, pair, pair_cnt). */
+  def trainMerges(vocab: DataFrame, k: Int): DataFrame = {
+    var sym = initialSymbols(vocab).localCheckpoint()
+    var out: DataFrame = null
+    for (i <- 1 to k) {
+      val best = bestPair(sym).localCheckpoint()
+      val row = best.select(lit(i).as("merge_rank"),
+        concat(col("x"), lit(" "), col("y")).as("pair"),
+        col("pair_cnt"))
+      out = if (out == null) row else out.unionByName(row)
+      if (i < k) sym = mergeBest(sym, best).localCheckpoint()
+    }
+    out
+  }
+
+  /** DuckDB oracle for [[trainMerges]]: the same rounds unrolled as CTEs —
+    * structurally identical windows, so any divergence is a real bug.
+    * `vocabSql` must yield (word, cnt).
+    */
+  def unrolledSql(vocabSql: String, k: Int): String = {
+    def round(i: Int): String = {
+      val s = s"s$i"
+      s"""p$i AS (SELECT sym, nxt, sum(cnt) AS pair_cnt FROM (
+         |  SELECT cnt, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM $s) WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |b$i AS (SELECT sym AS x, nxt AS y, pair_cnt FROM p$i
+         |        ORDER BY pair_cnt DESC, x, y LIMIT 1),
+         |cand$i AS (SELECT t.word, t.pos,
+         |             row_number() OVER (PARTITION BY t.word ORDER BY t.pos) AS rn
+         |           FROM (SELECT word, pos, sym,
+         |                   lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |                 FROM $s) t CROSS JOIN b$i
+         |           WHERE t.sym = b$i.x AND t.nxt = b$i.y),
+         |keep$i AS (SELECT word, pos FROM (
+         |             SELECT word, pos,
+         |               row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) - 1 AS off
+         |             FROM cand$i) WHERE off % 2 = 0),
+         |s${i + 1} AS (SELECT word, cnt,
+         |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+         |  FROM (
+         |    SELECT s.word, s.cnt, s.pos, b$i.x || b$i.y AS sym
+         |    FROM $s s JOIN keep$i k ON s.word = k.word AND s.pos = k.pos
+         |    CROSS JOIN b$i
+         |    UNION ALL
+         |    SELECT s.word, s.cnt, s.pos, s.sym FROM $s s
+         |    WHERE NOT EXISTS (SELECT 1 FROM keep$i k
+         |                      WHERE k.word = s.word
+         |                        AND (k.pos = s.pos OR k.pos + 1 = s.pos))))""".stripMargin
+    }
+    val rounds = (1 to k).map(round).mkString(",\n")
+    val sel = (1 to k).map(i =>
+      s"SELECT $i AS merge_rank, x || ' ' || y AS pair, " +
+        s"CAST(pair_cnt AS BIGINT) AS pair_cnt FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS ($vocabSql),
+       |s1 AS (SELECT word, cnt, i AS pos, word[i] AS sym
+       |       FROM (SELECT word, cnt, unnest(range(1, len(word) + 1)) AS i FROM v)),
+       |$rounds
+       |$sel
+       |ORDER BY merge_rank""".stripMargin
+  }
+}
