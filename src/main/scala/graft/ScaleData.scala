@@ -25,6 +25,27 @@ import org.apache.spark.sql.functions._
   * the synthesized data is bit-identical across runs.
   */
 object ScaleData {
+
+  val lower = "abcdefghijklmnopqrstuvwxyz"
+  val upper: String = lower.toUpperCase
+  private def rot(s: String, r: Int) = s.drop(r % s.length) + s.take(r % s.length)
+
+  /** 104 distinct letter bijections (rotation × case-swap × reversal), so
+    * up to 104 replicas stay pairwise non-near-duplicate. r < 26 is the
+    * plain rotation — identical to the original sf1 generation, so
+    * previously measured sf1 artifacts remain reproducible bit-for-bit.
+    * Distinctness + identity-at-0 are spec-gated (ScaleDataSpec).
+    */
+  def perm(r: Int): String = {
+    val (lo, up) = (rot(lower, r % 26), rot(upper, r % 26))
+    (r / 26) % 4 match {
+      case 0 => lo + up
+      case 1 => up + lo
+      case 2 => lo.reverse + up.reverse
+      case _ => up.reverse + lo.reverse
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("scaledata/sf1")
@@ -48,23 +69,6 @@ object ScaleData {
     val vk = keySpan("embeddings", "vec_id")
     val ek = keySpan("events", "event_id")
     val uk = keySpan("events", "user_id")
-
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val upper = lower.toUpperCase
-    def rot(s: String, r: Int) = s.drop(r % s.length) + s.take(r % s.length)
-    // 104 distinct letter bijections (rotation × case-swap × reversal), so
-    // up to 104 replicas stay pairwise non-near-duplicate. r < 26 is the
-    // plain rotation — identical to the original sf1 generation, so
-    // previously measured sf1 artifacts remain reproducible bit-for-bit.
-    def perm(r: Int): String = {
-      val (lo, up) = (rot(lower, r % 26), rot(upper, r % 26))
-      (r / 26) % 4 match {
-        case 0 => lo + up
-        case 1 => up + lo
-        case 2 => lo.reverse + up.reverse
-        case _ => up.reverse + lo.reverse
-      }
-    }
 
     // per-replica transform of each table; offsets are (column -> span)
     def replicate(t: String, offsets: Map[String, Long],

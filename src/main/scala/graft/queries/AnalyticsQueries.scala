@@ -4,10 +4,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
 
-/** Round-6 extensions: graph analytics beyond PageRank, deterministic
-  * weighted sampling, histogramming, cohort retention, and substring-level
-  * dedup (ExactSubstr-lite). Each is a first-class operator a training-data
-  * or product-analytics pipeline runs, with an exact DuckDB oracle.
+/** Round-6/7 extensions: graph analytics beyond PageRank, deterministic
+  * weighted sampling, histogramming, cohort retention, substring-level
+  * dedup (ExactSubstr-lite), batch sessionization, bigram-LM quality
+  * scoring, cross-table referential expectations, temperature-based source
+  * mixture, BPE merge training (graft.text.Bpe) and int8 vector
+  * quantization. Each is a first-class operator a training-data or
+  * product-analytics pipeline runs, with an exact DuckDB oracle.
   *
   * Scale design (100 TB):
   *  - gr2 orients edges by (degree, id) before the wedge join — the
