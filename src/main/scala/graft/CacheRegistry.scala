@@ -1,28 +1,69 @@
 package graft
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
-/** Registry for per-query scratch caches — DataFrames that a query plan
-  * caches because the plan reads them more than once (LSH band tables,
-  * candidate pair sets, connected-components node sets), but that outlive
-  * the query because the RESULT DataFrame is lazy: the cache must stay
-  * alive until the caller has executed the plan, so the query body cannot
-  * unpersist it.
+/** Registry for cached scratch state, in two flavors:
   *
-  * `track` tags such a cache; `clear()` (called from Bench/Verify teardown
-  * via `TextQueries.clearCaches()`) unpersists every tracked cache. In a
-  * long-lived service this is the end-of-unit-of-work hook that keeps the
-  * block manager from accumulating dead scratch state.
+  *  1. **Anonymous per-query caches** ([[track]]) — DataFrames a query plan
+  *     caches because the plan reads them more than once (LSH band tables,
+  *     candidate pair sets, connected-components node sets), but that
+  *     outlive the query because the RESULT DataFrame is lazy: the cache
+  *     must stay alive until the caller has executed the plan, so the query
+  *     body cannot unpersist it.
+  *
+  *  2. **Keyed memoized stages** ([[memoized]]) — shared intermediate
+  *     DataFrames keyed by (session, dataset dir, stage tag), e.g. the
+  *     tokenize+shingle+distinct stage that dd2/dd3/dd4 all consume: the
+  *     shuffle runs once per dataset instead of once per query. Keyed
+  *     entries have a RETIREMENT path: [[evict]] releases one dataset's
+  *     stages when a long-lived driver moves on (the memo would otherwise
+  *     accumulate one plan + its block-manager storage per dataset ever
+  *     touched, without bound). Correctness never depends on the memo — a
+  *     dropped entry simply rebuilds.
+  *
+  * `clear()` (called from Bench/Verify teardown via
+  * `TextQueries.clearCaches()`) unpersists everything in both flavors: the
+  * end-of-unit-of-work hook that keeps the block manager from accumulating
+  * dead scratch state.
   */
 object CacheRegistry {
 
   private val live = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
 
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def track[T <: Dataset[_]](df: T): T = synchronized { live += df; df }
 
-  /** Unpersist every tracked cache (no-op for already-unpersisted ones). */
+  /** Memoize + cache a shared stage for (session, dataset dir). The build
+    * runs at most once per key while the entry lives; the entry is re-marked
+    * `.cache()` on every access so an external `spark.catalog.clearCache()`
+    * (e.g. Bench's warmup pass) degrades to recompute-then-recache rather
+    * than a permanently uncached plan.
+    */
+  def memoized(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
+    val df = memo.getOrElseUpdate((s, dir, tag), build)
+    if (df.storageLevel == StorageLevel.NONE) df.cache()
+    df
+  }
+
+  /** Retire one dataset: unpersist and forget every memoized stage keyed by
+    * this (session, dir). Other datasets' entries are untouched; a later
+    * access for the same (session, dir) rebuilds from scratch.
+    */
+  def evict(s: SparkSession, dir: String): Unit =
+    memo.keys.filter(k => k._1 == s && k._2 == dir).foreach { k =>
+      memo.remove(k).foreach(_.unpersist())
+    }
+
+  /** Unpersist every tracked cache and memoized stage (no-op for
+    * already-unpersisted ones).
+    */
   def clear(): Unit = synchronized {
     live.foreach(_.unpersist())
     live.clear()
+    memo.values.foreach(_.unpersist())
+    memo.clear()
   }
 }

@@ -97,20 +97,30 @@ object HeavyHitters {
     * arithmetic on measured values, never an assumption. Worst case
     * (uniform data, capacity reaches ~n/count_k) degenerates toward the
     * plain exact groupBy — the honest cost of demanding exactness.
+    *
+    * If `maxRounds` capacity escalations all fail to certify (adversarially
+    * flat data: no k-th count ever clears n/capacity), the function does
+    * NOT return the uncertified sketch-derived rows — that would rebuild
+    * the silent-wrong-rows failure this function exists to prevent. It
+    * falls back to the plain exact `groupBy(w).count()` top-k, paying the
+    * one-row-per-distinct-key shuffle the docstring names as the honest
+    * worst case. Every return path is therefore exact.
     */
   def topkExactCertified(words: DataFrame, wCol: String, k: Int,
                          capacity0: Int = 64, maxRounds: Int = 6): DataFrame = {
     val n = words.count()
     var cap = capacity0
     var rounds = 0
-    while (true) {
+    while (rounds < maxRounds) {
       val topk = topkExact(words, wCol, k, cap)
       rounds += 1
       val kth = topk.agg(min(col("n"))).head()
       val kthCount = if (kth.isNullAt(0)) 0L else kth.getLong(0)
-      if (kthCount > n / cap || rounds >= maxRounds) return topk
+      if (kthCount > n / cap) return topk
       cap *= 8
     }
-    throw new IllegalStateException("unreachable")
+    // Certification never held: exact fallback, never an unverified result.
+    words.groupBy(wCol).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(wCol)).limit(k)
   }
 }

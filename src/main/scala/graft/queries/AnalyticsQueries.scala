@@ -43,11 +43,13 @@ object AnalyticsQueries {
     * collects each order's (deduped, sorted) supplier set, the size filter
     * applies the cap, and pairs explode narrowly at O(cap²) per order —
     * 2 exchanges total vs the self-join's 4, and measured FASTER than the
-    * uncapped join build at sf0.1. Post-filter group state is ≤ cap
-    * elements; pre-filter, a pathological order's collect_set buffer is
-    * bounded by true fan-out (map-side partial dedup keeps per-task buffers
-    * partition-sized) — under adversarial fan-out (≫10⁶ suppliers in ONE
-    * order) pre-filter with a windowed count before collecting.
+    * uncapped join build at sf0.1. The collector is
+    * [[graft.functions.CappedCollectSet]]: its aggregation buffer admits at
+    * most cap+1 distinct elements (cap+1 observed distinct values already
+    * PROVE the order is over the cap), so even an adversarial order with
+    * ≫10⁶ suppliers holds O(cap) state — no unbounded collect_set buffer
+    * exists anywhere in the build; the `size <= cap` verdict is identical
+    * row-for-row (see CappedCollectSet's exactness note).
     *
     * `None` = exact: every co-purchase pair via the inverted-index
     * self-join, join groups unbounded.
@@ -55,7 +57,8 @@ object AnalyticsQueries {
   def coPurchaseEdges(base: DataFrame, maxOrderFanout: Option[Int]): DataFrame =
     maxOrderFanout match {
       case Some(cap) =>
-        base.groupBy("o").agg(sort_array(collect_set(col("s"))).as("ss"))
+        base.groupBy("o").agg(
+            graft.functions.CappedCollectSet.sortedSetCapped(cap)(col("s")).as("ss"))
           .filter(size(col("ss")) <= cap)
           .select(explode(col("ss")).as("a"), col("ss"))
           .select(col("a"), explode(col("ss")).as("b"))
@@ -265,9 +268,9 @@ object AnalyticsQueries {
     // ── DQ1: data-quality expectations / column profiling (the ANALYZE-
     // style operator a pipeline runs before trusting a new drop): per-
     // column row count, null count, distinct count, min/max rendered as
-    // strings. Each metric set is a column-pruned scan + 1-row agg; at
-    // 100 TB n_distinct would be approx_count_distinct (agg4's sketch) —
-    // exact here so the oracle can hash it.
+    // strings. Each metric set is a column-pruned scan + 1-row agg; the
+    // 100 TB form swaps n_distinct for the HLL sketch — that variant is
+    // dq1b below, oracle-gated with agg4's bound-flag pattern.
     Q("dq1_expectations",
       """SELECT 'l_returnflag' AS col_name, count(*) AS n,
         |       count(*) - count(l_returnflag) AS n_null,
@@ -315,6 +318,53 @@ object AnalyticsQueries {
           struct(lit(c).as("col_name"), col("n"), col(s"null_$c").as("n_null"),
             col(s"dist_$c").as("n_distinct"), col(s"min_$c").as("min_s"),
             col(s"max_$c").as("max_s"))
+        }: _*)).as("r"))
+        .select(col("r.*"))
+        .orderBy("col_name")
+    },
+
+    // ── DQ1B: sketch-based column profiling — dq1's 100 TB form, executed
+    // rather than promised in a comment: n_distinct comes from the HLL++
+    // sketch (fixed-size mergeable state, map-side partials — no
+    // one-row-per-distinct-value shuffle), still ONE scan for all columns.
+    // Oracle shape is agg4's keys-exact pattern: the hashed result carries
+    // the EXACT distinct companion plus `approx_ok`, the ±5% relative
+    // bound evaluated in-engine, which DuckDB asserts as literal 1 — a
+    // wrong or drifting sketch flips the flag and the driver hash
+    // mismatches, so the sketch itself stays oracle-gated. dq1 remains the
+    // exact twin.
+    Q("dq1b_expectations_sketch",
+      """SELECT 'l_returnflag' AS col_name, count(*) AS n,
+        |       count(*) - count(l_returnflag) AS n_null,
+        |       count(DISTINCT l_returnflag) AS n_distinct, 1 AS approx_ok
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |       count(DISTINCT l_quantity), 1
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+        |       count(DISTINCT l_shipdate), 1
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+        |       count(DISTINCT l_linestatus), 1
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val cols = Seq("l_returnflag", "l_quantity", "l_shipdate", "l_linestatus")
+      val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+        Seq((count(lit(1)) - count(col(c))).as(s"null_$c"),
+          countDistinct(col(c)).as(s"dist_$c"),
+          approx_count_distinct(col(c), 0.02).as(s"approx_$c"))
+      }
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map { c =>
+          struct(lit(c).as("col_name"), col("n"), col(s"null_$c").as("n_null"),
+            col(s"dist_$c").as("n_distinct"),
+            when(abs(col(s"approx_$c") - col(s"dist_$c"))
+              / col(s"dist_$c") <= 0.05, lit(1)).otherwise(lit(0))
+              .as("approx_ok"))
         }: _*)).as("r"))
         .select(col("r.*"))
         .orderBy("col_name")

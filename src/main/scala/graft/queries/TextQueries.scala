@@ -28,16 +28,15 @@ object TextQueries {
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
 
   /** Distinct 3-gram word shingles per document — memoized and cached per
-    * (session, dir): dd2/dd3/dd4 all consume this stage, and the driver runs
-    * them in one session, so the tokenize+shingle+distinct shuffle runs once
-    * instead of three times. (If the cache is dropped the plan simply
-    * recomputes — correctness never depends on it.)
+    * (session, dir) via [[graft.CacheRegistry.memoized]]: dd2/dd3/dd4 all
+    * consume this stage, and the driver runs them in one session, so the
+    * tokenize+shingle+distinct shuffle runs once instead of three times.
+    * (If the cache is dropped the plan simply recomputes — correctness
+    * never depends on it.) A long-lived driver retiring a dataset calls
+    * `CacheRegistry.evict(session, dir)` to release its entries.
     */
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  def shinglesDf(s: SparkSession, d: String): DataFrame = {
-    val df = shingleCache.getOrElseUpdate((s, d),
+  def shinglesDf(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memoized(s, d, "shingles") {
       tokensDf(s, d)
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(expr(
@@ -47,13 +46,8 @@ object TextQueries {
         // one md5 per shingle, materialized with the cache: MinHash carves
         // its 8 hash families out of its 4-hex chunks and SimHash its 32
         // bits out of the first 8 digits — md5 runs once, not 9 times
-        .withColumn("m", md5(col("sh"))))
-    // re-mark after any external spark.catalog.clearCache() (e.g. Bench's
-    // warmup pass) — an unpersisted memoized plan would otherwise recompute
-    // the shingle shuffle at every use
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
-    df
-  }
+        .withColumn("m", md5(col("sh")))
+    }
 
   /** Exact pairwise shingle-set Jaccard via inverted-index self-join.
     * Returns (a, b, inter, sza, szb, jaccard) for pairs sharing ≥1 shingle.
@@ -92,27 +86,15 @@ object TextQueries {
   /** Full-corpus pair table, memoized like the shingles (dd2 and dd6 both
     * consume it in one driver session — the inverted-index join runs once).
     */
-  private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def allPairsDf(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memoized(s, d, "pairs")(pairJaccard(shinglesDf(s, d)))
 
-  private def allPairsDf(s: SparkSession, d: String): DataFrame = {
-    val df = pairCache.getOrElseUpdate((s, d), pairJaccard(shinglesDf(s, d)))
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
-    df
-  }
-
-  /** Drop the memoized shingle/pair DataFrames (and their block-manager
-    * cache). The memo keys on (session, dir), which is bounded for the
-    * driver's one-shot runs but grows without bound in a long-lived
-    * service — call this at the end of a unit of work there.
+  /** Drop every memoized stage (shingles/pairs) and per-query scratch cache
+    * (dd3/dd4 band tables, cluster node sets) with their block-manager
+    * storage — the end-of-unit-of-work hook. To retire ONE dataset while
+    * others stay warm, use `CacheRegistry.evict(session, dir)` instead.
     */
-  def clearCaches(): Unit = {
-    (shingleCache.values ++ pairCache.values).foreach(_.unpersist())
-    shingleCache.clear()
-    pairCache.clear()
-    // per-query scratch caches (dd3/dd4 band tables, cluster node sets)
-    graft.CacheRegistry.clear()
-  }
+  def clearCaches(): Unit = graft.CacheRegistry.clear()
 
   /** Shared DuckDB CTEs: tokens -> distinct 3-gram shingles -> set sizes.
     * `range(1024)` is a constant-table cross join (DuckDB 1.0 has no lateral

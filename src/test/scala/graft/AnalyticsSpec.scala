@@ -33,4 +33,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(AnalyticsQueries.coPurchaseEdges(base, Some(25)).count() == 3)
     assert(AnalyticsQueries.coPurchaseEdges(base, None).count() == 435 + 3)
   }
+
+  test("gr2 collector: aggregation state stays O(cap) on an adversarially hot order") {
+    // drive the Aggregator state machine directly (its reduce/merge are pure):
+    // 100k distinct suppliers into one buffer must never hold more than
+    // cap+1 entries — the failure VERDICT r7 called out was collect_set
+    // materializing the full set BEFORE the size filter
+    val agg = new graft.functions.CappedCollectSet.CappedDistinct(25)
+    var buf = agg.zero
+    (1L to 100000L).foreach { v =>
+      buf = agg.reduce(buf, v)
+      assert(buf.size <= 26, s"buffer grew to ${buf.size}")
+    }
+    // merging two over-cap partials stays bounded and keeps the verdict
+    var other = agg.zero
+    (200000L to 200040L).foreach(v => other = agg.reduce(other, v))
+    val merged = agg.merge(buf, other)
+    assert(merged.size <= 26)
+    assert(agg.finish(merged).length > 25, "over-cap verdict lost in merge")
+    // under the cap nothing truncates: the full sorted set survives merge
+    val aPart = (1L to 10L).foldLeft(agg.zero)(agg.reduce)
+    val bPart = (6L to 20L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(aPart, bPart)).toSeq == (1L to 20L))
+  }
 }

@@ -48,4 +48,28 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(checkpoints.isEmpty,
       s"localCheckpoint RDDs not drained by ContextCleaner: ${checkpoints.keys.toSeq.sorted}")
   }
+
+  test("evicting one dataset releases its memoized stages; others stay warm") {
+    graft.queries.TextQueries.clearCaches()
+    val dirA = sf
+    val dirB = "/root/testdata/sf0.01"
+    val shA = graft.queries.TextQueries.shinglesDf(spark, dirA)
+    val shB = graft.queries.TextQueries.shinglesDf(spark, dirB)
+    shA.count(); shB.count() // materialize both caches
+    assert(shA.storageLevel.useMemory && shB.storageLevel.useMemory)
+
+    // retire dataset A: ITS storage releases, B's cache is untouched
+    CacheRegistry.evict(spark, dirA)
+    assert(shA.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "evicted dataset's shingle stage still persisted")
+    assert(shB.storageLevel.useMemory,
+      "evict(dirA) must not touch dirB's entries")
+
+    // the memo forgot A: the next access rebuilds a fresh cached entry
+    // (correctness never depended on the memo)
+    val shA2 = graft.queries.TextQueries.shinglesDf(spark, dirA)
+    assert(shA2 ne shA, "evicted entry was not removed from the memo")
+    assert(shA2.storageLevel.useMemory)
+    graft.queries.TextQueries.clearCaches()
+  }
 }

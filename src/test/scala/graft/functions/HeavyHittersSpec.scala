@@ -48,4 +48,18 @@ class HeavyHittersSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("a", 60L), ("b", 50L), ("c", 40L)))
   }
+
+  test("certified top-k stays exact on adversarially flat data (fallback path)") {
+    // near-uniform data: every count is 2, so no k-th count can ever exceed
+    // n/cap until cap ~ n/2 — with maxRounds=1 pinned at capacity0=2 the
+    // certificate CANNOT hold, and the uncertified sketch rows must never
+    // leak out. The fallback is the plain exact groupBy top-k, so the
+    // result is still exact: top-3 by (count desc, word asc).
+    val words = (1 to 500).flatMap(i => Seq(f"flat$i%04d", f"flat$i%04d"))
+    val df = words.toDF("w").repartition(8)
+    val got = HeavyHitters.topkExactCertified(df, "w", k = 3,
+      capacity0 = 2, maxRounds = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("flat0001", 2L), ("flat0002", 2L), ("flat0003", 2L)))
+  }
 }
