@@ -50,6 +50,12 @@ object ScaleData {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("scaledata/sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    // perm() yields 104 distinct letter bijections (26 rotations × 4
+    // case/reversal variants); beyond that, replicas would silently reuse
+    // letter maps and become exact near-duplicates, breaking the density
+    // property ScaleDataSpec gates. Extend the bijection family before
+    // raising this.
+    require(reps <= 104, s"reps=$reps exceeds the 104 distinct letter bijections")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.build("graft-scaledata", cpus.toInt)
     // events.ts is parquet TIMESTAMP(NANOS) (see Tables.events): read the

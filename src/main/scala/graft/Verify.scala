@@ -4,7 +4,15 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = run(args, singleFile = true)
+
+  /** `singleFile = true` is the frozen driver contract (one part file per
+    * result). The scale probes ([[VerifyScale]]) write with the plan's own
+    * partitioning instead: at sf10 a 60M-row result (w1/z1) funnelled
+    * through `coalesce(1)` serializes the entire write into one task —
+    * the checker reads a directory of parquet either way.
+    */
+  private[graft] def run(args: Array[String], singleFile: Boolean): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build("graft-verify", cpus.toInt)
@@ -15,8 +23,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val res = fn(spark, sfDir)
+        (if (singleFile) res.coalesce(1) else res)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -49,4 +60,12 @@ object Verify {
       System.err.println(s"[verify] WARNING: ${leaked.size} persistent RDDs leaked")
     spark.stop()
   }
+}
+
+/** Verify for the synthesized scale dirs (scaledata/sf1, sf10): identical
+  * pack and oracle dump, but results keep the plan's partitioning instead
+  * of coalescing to one file — compare with tools/check_oracle_dir.py.
+  */
+object VerifyScale {
+  def main(args: Array[String]): Unit = Verify.run(args, singleFile = false)
 }

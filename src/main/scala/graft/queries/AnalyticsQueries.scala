@@ -77,17 +77,21 @@ object AnalyticsQueries {
     // Degree orientation makes each triangle discoverable exactly once
     // (rank(a) < rank(b) < rank(c) under (deg, id) order), so the count is
     // wedge-join + semi-join closure — no post-hoc dedup, no cartesian.
+    // e/deg/dir are MATERIALIZED: dir is referenced three times and DuckDB
+    // inlines plain CTEs, so without the hint the whole edge pipeline is
+    // re-derived per reference — at sf10 that recomputation overflowed 73 GB
+    // of spill; materialized, the oracle runs in minutes (sf10 probe).
     Q("gr2_triangle_count",
       """WITH base AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
         |              FROM lineitem WHERE l_quantity >= 40),
         |hot AS (SELECT o FROM base GROUP BY o HAVING count(*) > 25),
         |bc AS (SELECT b.o, b.s FROM base b
         |       WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.o = b.o)),
-        |e AS (SELECT DISTINCT x.s AS a, y.s AS b
+        |e AS MATERIALIZED (SELECT DISTINCT x.s AS a, y.s AS b
         |      FROM bc x JOIN bc y ON x.o = y.o AND x.s < y.s),
-        |deg AS (SELECT n, count(*) AS d
+        |deg AS MATERIALIZED (SELECT n, count(*) AS d
         |        FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
-        |dir AS (SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+        |dir AS MATERIALIZED (SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
         |               CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst
         |        FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
@@ -627,13 +631,17 @@ object AnalyticsQueries {
     // is the dequantization scale). Pure narrow maps, no shuffle: norm =
     // sequential fold over the array (identical accumulation order in both
     // engines — Spark `aggregate` with 0.0 init ≡ DuckDB `list_reduce`,
-    // since 0+x² == x² exactly), elements round away-from-zero in both.
+    // since 0+x² == x² exactly; a zero-length embedding is norm 0 / q8 ''
+    // on BOTH sides, guarded in the oracle because list_reduce errors on
+    // empty lists), elements round away-from-zero in both.
     // The quantized vector travels as a comma-joined string so the hash
     // compare is representation-exact.
     Q("emb1_quantize_int8",
       """WITH n AS (SELECT vec_id, embedding,
-        |  sqrt(list_reduce(list_transform(embedding,
-        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS norm
+        |  CASE WHEN len(embedding) = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE sqrt(list_reduce(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |  END AS norm
         |  FROM embeddings)
         |SELECT vec_id, round(norm, 6) AS norm_r,
         |  CASE WHEN norm = 0 THEN '' ELSE

@@ -8,9 +8,13 @@ import graft.{Q, Tables}
 /** Structured Streaming surface: the `events` table replayed as a file
   * stream, aggregated with tumbling event-time windows.
   *
-  * The query runs `readStream → window agg → memory sink` synchronously
-  * (AvailableNow) so its result is a plain DataFrame the driver can
-  * hash-compare; the oracle is the equivalent batch GROUP BY on date_trunc.
+  * Each query drains synchronously (AvailableNow) so its result is a plain
+  * DataFrame the driver can hash-compare; the oracle is the equivalent
+  * batch query. Complete-mode aggregations land in the memory sink (their
+  * output is state-sized); append-mode queries land in the PARQUET file
+  * sink and are read back — the memory sink is a driver-side collect,
+  * which the sf10 probe proved non-scalable (st6 overflowed
+  * `spark.driver.maxResultSize` at ~10M rows).
   * At scale the same plan runs continuously with a watermark bounding state
   * (see graft.streaming.EventStream for the watermarked append-mode variant).
   */
@@ -31,9 +35,17 @@ object StreamingQueries {
     * state rows per partition. At cluster scale the same arithmetic applies
     * upward: raise this until per-partition state fits memory and commit
     * parallelism saturates, and re-partition via a fresh checkpoint when
-    * state grows.
+    * state grows — the mechanics of that migration (count frozen at first
+    * checkpoint, fresh checkpoint picks up the larger count, results
+    * identical) are executed in StreamingScaleOutSpec, and the measured
+    * effect at sf10 is recorded in BENCH_SCALE.md.
+    *
+    * `SPARK_GRAFT_STATE_PARTITIONS` overrides the default for scale probes
+    * (each Bench/Verify run starts a fresh checkpoint, so the override is
+    * exactly the re-checkpoint-at-new-count migration).
     */
-  private val StatePartitions = 8
+  private val StatePartitions =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(8)
 
   /** Run `f` (a streaming-query start + drain) with state partitioning
     * sized for the stateful operators; restores the session's batch shuffle
@@ -55,6 +67,26 @@ object StreamingQueries {
       Tables.events(s, d).write.mode("overwrite").parquet(dir)
     }
     dir
+  }
+
+  /** Drain an append-mode stream through the PARQUET file sink and read the
+    * result back. The memory sink is a driver-side collect: at the sf10
+    * probe, st6's ~10M enriched rows overflowed
+    * `spark.driver.maxResultSize` — precisely the non-scalable harness the
+    * file sink replaces (executors write partitions directly; the driver
+    * never holds rows). Complete-mode aggregations (st1/st2) keep the
+    * memory sink: their state-sized output is what complete mode is for,
+    * and the file sink does not support complete output anyway.
+    */
+  private def drainToParquet(s: SparkSession, df: DataFrame, tag: String): DataFrame = {
+    val out = s"/root/repo/target/stream-sink/${tag}_${System.nanoTime()}"
+    val q = df.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$out/_ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
   }
 
   /** ST4's streaming plan, pre-sink: views joined to same-user clicks in the
@@ -196,16 +228,8 @@ object StreamingQueries {
         | AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 1 HOUR
         |ORDER BY view_id, click_id""".stripMargin) { (s, d) =>
       val dir = stageEvents(s, d)
-      val name = s"st4_out_${System.nanoTime()}"
-      withStatePartitions(s) {
-        val q = st4Joined(s, dir)
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(name)
-        .select(col("view_id"), col("click_id"), col("user_id"),
+      val res = withStatePartitions(s) { drainToParquet(s, st4Joined(s, dir), "st4") }
+      res.select(col("view_id"), col("click_id"), col("user_id"),
           date_format(col("vts"), "yyyy-MM-dd HH:mm:ss").as("vt"),
           date_format(col("cts"), "yyyy-MM-dd HH:mm:ss").as("ct"))
         .orderBy("view_id", "click_id")
@@ -221,16 +245,8 @@ object StreamingQueries {
         |       round(value, 2) AS v
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       val dir = stageEvents(s, d)
-      val name = s"st3_out_${System.nanoTime()}"
-      withStatePartitions(s) {
-        val q = st3Deduped(s, dir)
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(name)
-        .select(col("event_id"), col("user_id"), col("event_type"),
+      val res = withStatePartitions(s) { drainToParquet(s, st3Deduped(s, dir), "st3") }
+      res.select(col("event_id"), col("user_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"),
           round(col("value"), 2).as("v"))
         .orderBy("event_id")
@@ -246,16 +262,8 @@ object StreamingQueries {
         |       round(value, 2) AS v
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       val dir = stageEvents(s, d)
-      val name = s"st5_out_${System.nanoTime()}"
-      withStatePartitions(s) {
-        val q = st5Deduped(s, dir)
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(name)
-        .select(col("event_id"), col("user_id"), col("event_type"),
+      val res = withStatePartitions(s) { drainToParquet(s, st5Deduped(s, dir), "st5") }
+      res.select(col("event_id"), col("user_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"),
           round(col("value"), 2).as("v"))
         .orderBy("event_id")
@@ -270,15 +278,8 @@ object StreamingQueries {
         |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
         |GROUP BY 1 ORDER BY n_name""".stripMargin) { (s, d) =>
       val dir = stageEvents(s, d)
-      val name = s"st6_out_${System.nanoTime()}"
-      withStatePartitions(s) {
-        val q = st6Enriched(s, dir, d)
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(name).groupBy("n_name")
+      val res = withStatePartitions(s) { drainToParquet(s, st6Enriched(s, dir, d), "st6") }
+      res.groupBy("n_name")
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
         .orderBy("n_name")
     }

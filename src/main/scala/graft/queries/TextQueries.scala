@@ -210,6 +210,41 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ── T12: intra-document repetition filter (the Gopher/MassiveText
+    // "fraction of duplicate n-grams" quality rule): a doc whose word
+    // 3-grams are >20% duplicates is flagged repetitive. One narrow
+    // generator (tokens ride through the explode, dd8's lesson) + one
+    // keyed agg on doc_id with map-side partials. The 20% threshold is
+    // evaluated in INTEGER arithmetic ((n3 - nd) * 5 > n3) — no float
+    // ratio exists anywhere, so the flag can never sit on a rounding
+    // boundary between engines. Whitespace class pinned to [ \t\n\f\r]+
+    // in both engines (Java \s matches \x0B, RE2's does not).
+    Q("t12_repetition",
+      """WITH t AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(text), '[ \t\n\f\r]+') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |        toks[r.range+1] || ' ' || toks[r.range+2] || ' ' || toks[r.range+3] AS sh
+        |      FROM t, range(1024) r WHERE r.range < len(toks) - 2),
+        |a AS (SELECT doc_id, count(*) AS n3, count(DISTINCT sh) AS nd
+        |      FROM s GROUP BY 1)
+        |SELECT doc_id, n3, nd,
+        |       CASE WHEN (n3 - nd) * 5 > n3 THEN 1 ELSE 0 END AS repetitive
+        |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "[ \\t\\n\\f\\r]+").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t)-3), " +
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n3"), countDistinct(col("sh")).as("nd"))
+        .select(col("doc_id"), col("n3"), col("nd"),
+          when((col("n3") - col("nd")) * 5 > col("n3"), lit(1)).otherwise(lit(0))
+            .as("repetitive"))
+        .orderBy("doc_id")
+    },
+
     // ── T4: document fingerprint (md5 of whitespace-normalized text) ───────
     Q("t4_fingerprint",
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

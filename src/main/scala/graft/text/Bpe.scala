@@ -90,26 +90,33 @@ object Bpe {
   /** DuckDB oracle for [[trainMerges]]: the same rounds unrolled as CTEs —
     * structurally identical windows, so any divergence is a real bug.
     * `vocabSql` must yield (word, cnt).
+    *
+    * Every per-round CTE is MATERIALIZED: `s_i` is referenced four times
+    * per round, and DuckDB inlines plain CTEs, so without the hint round
+    * k's expansion re-derives the whole chain ~4^k times — invisible on a
+    * small vocabulary, an OOM at the sf10 probe's 5M-word vocabulary.
+    * Materialized, each round computes once (exactly how the Spark side's
+    * localCheckpoint bounds the iterative lineage).
     */
   def unrolledSql(vocabSql: String, k: Int): String = {
     def round(i: Int): String = {
       val s = s"s$i"
-      s"""p$i AS (SELECT sym, nxt, sum(cnt) AS pair_cnt FROM (
+      s"""p$i AS MATERIALIZED (SELECT sym, nxt, sum(cnt) AS pair_cnt FROM (
          |  SELECT cnt, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
          |  FROM $s) WHERE nxt IS NOT NULL GROUP BY 1, 2),
-         |b$i AS (SELECT sym AS x, nxt AS y, pair_cnt FROM p$i
+         |b$i AS MATERIALIZED (SELECT sym AS x, nxt AS y, pair_cnt FROM p$i
          |        ORDER BY pair_cnt DESC, x, y LIMIT 1),
-         |cand$i AS (SELECT t.word, t.pos,
+         |cand$i AS MATERIALIZED (SELECT t.word, t.pos,
          |             row_number() OVER (PARTITION BY t.word ORDER BY t.pos) AS rn
          |           FROM (SELECT word, pos, sym,
          |                   lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
          |                 FROM $s) t CROSS JOIN b$i
          |           WHERE t.sym = b$i.x AND t.nxt = b$i.y),
-         |keep$i AS (SELECT word, pos FROM (
+         |keep$i AS MATERIALIZED (SELECT word, pos FROM (
          |             SELECT word, pos,
          |               row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) - 1 AS off
          |             FROM cand$i) WHERE off % 2 = 0),
-         |s${i + 1} AS (SELECT word, cnt,
+         |s${i + 1} AS MATERIALIZED (SELECT word, cnt,
          |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
          |  FROM (
          |    SELECT s.word, s.cnt, s.pos, b$i.x || b$i.y AS sym
@@ -127,7 +134,7 @@ object Bpe {
         s"CAST(pair_cnt AS BIGINT) AS pair_cnt FROM b$i")
       .mkString("\nUNION ALL ")
     s"""WITH v AS ($vocabSql),
-       |s1 AS (SELECT word, cnt, i AS pos, word[i] AS sym
+       |s1 AS MATERIALIZED (SELECT word, cnt, i AS pos, word[i] AS sym
        |       FROM (SELECT word, cnt, unnest(range(1, len(word) + 1)) AS i FROM v)),
        |$rounds
        |$sel

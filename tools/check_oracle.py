@@ -8,6 +8,7 @@ SQL from oracle_sql.json in DuckDB (tables = the sfDir parquet files), sorts
 columns by name, canonicalizes rows, and reports match/mismatch per query.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -40,12 +41,32 @@ def run(views, out_dir):
     single-file parquet, directory-parquet globs, or transformed columns).
     """
     con = duckdb.connect()
+    # bound DuckDB so a heavy oracle spills to disk instead of exhausting
+    # the process (GRAFT_DUCKDB_MEM, e.g. "32GB"; unset = duckdb default)
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.sql(f"SET memory_limit='{mem}'")
     for t, src in views.items():
         con.sql(f"CREATE VIEW {t} AS {src}")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # GRAFT_ORACLE_SKIP: comma-separated query names to exclude, for scale
+    # dirs where an oracle is computationally infeasible IN DUCKDB (e.g.
+    # dd5/dd5b's O(n^2 * dim) exact cosine referee at sf10's 200k vectors).
+    # Skips are printed loudly -- an excluded query is a documented hole,
+    # never a silent pass.
+    skip = set(filter(None, os.environ.get("GRAFT_ORACLE_SKIP", "").split(",")))
+    # GRAFT_ORACLE_ONLY: restrict to these names (for retrying a batch in a
+    # fresh process after a resource-cascade failure) -- mirrors the
+    # Spark-side SPARK_GRAFT_ONLY convention.
+    only = set(filter(None, os.environ.get("GRAFT_ORACLE_ONLY", "").split(",")))
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
+        if name in skip:
+            print(f"SKIP {name} (GRAFT_ORACLE_SKIP)")
+            continue
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:

@@ -20,8 +20,13 @@ from check_oracle import TABLES, run  # noqa: E402
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     views = {t: f"SELECT * FROM \'{sf_dir}/{t}.parquet/*.parquet\'" for t in TABLES}
+    # truncate-toward-zero ns->us division, matching Spark's `ts div 1000`
+    # (Tables.events): DuckDB's // floors toward -inf, which would differ by
+    # 1us on pre-1970 (negative-nanos) timestamps. Integer CASE arithmetic,
+    # not float trunc -- ns magnitudes (~1.7e18) exceed double's 2^53.
     views["events"] = (
-        "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+        "SELECT * REPLACE (make_timestamp("
+        "CASE WHEN ts >= 0 THEN ts // 1000 ELSE -((-ts) // 1000) END) AS ts) "
         f"FROM \'{sf_dir}/events.parquet/*.parquet\'")
     run(views, out_dir)
 
