@@ -116,6 +116,24 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"profiling scans lineitem $scans times:\n$p")
   }
 
+  test("dq1b: sketch profiling keeps the single scan AND carries the HLL aggregate") {
+    val p = plan("dq1b_expectations_sketch")
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans == 1, s"sketch profiling scans lineitem $scans times:\n$p")
+    // the 100 TB claim is the sketch: it must actually be in the plan, not
+    // optimized away (the oracle gates its ±5% flag; this gates its presence)
+    assert(p.contains("approx_count_distinct"), s"HLL sketch missing from plan:\n$p")
+  }
+
+  test("t12: repetition filter is one generator + one doc_id-keyed aggregation") {
+    // tokens ride through the explode (no documents re-join) and the only
+    // exchanges are the doc_id aggregation's — the distinct-aggregate
+    // Expand adds its pair, but nothing shuffles the corpus twice
+    val p = plan("t12_repetition")
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans == 1, s"repetition filter scans documents $scans times:\n$p")
+  }
+
   test("t10: vocab joins back to the corpus as a broadcast (corpus never shuffles to encode)") {
     val p = plan("t10_vocab_encode")
     assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
