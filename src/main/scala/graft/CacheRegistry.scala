@@ -34,7 +34,22 @@ object CacheRegistry {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  private val scratchPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+
   def track[T <: Dataset[_]](df: T): T = synchronized { live += df; df }
+
+  /** Register a scratch DIRECTORY (e.g. a streaming file-sink output +
+    * checkpoint) for deletion at [[clear]]. Like tracked caches, the path
+    * must outlive its query (the result DataFrame reads it lazily), so the
+    * query body can't delete it — without this hook every drained stream
+    * leaves its parquet on disk for the life of the process.
+    */
+  def trackPath(path: String): String = synchronized { scratchPaths += path; path }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
 
   /** Memoize + cache a shared stage for (session, dataset dir). The build
     * runs at most once per key while the entry lives; the entry is re-marked
@@ -58,12 +73,14 @@ object CacheRegistry {
     }
 
   /** Unpersist every tracked cache and memoized stage (no-op for
-    * already-unpersisted ones).
+    * already-unpersisted ones) and delete tracked scratch directories.
     */
   def clear(): Unit = synchronized {
     live.foreach(_.unpersist())
     live.clear()
     memo.values.foreach(_.unpersist())
     memo.clear()
+    scratchPaths.foreach(p => deleteRecursively(new java.io.File(p)))
+    scratchPaths.clear()
   }
 }

@@ -79,7 +79,10 @@ object StreamingQueries {
     * and the file sink does not support complete output anyway.
     */
   private def drainToParquet(s: SparkSession, df: DataFrame, tag: String): DataFrame = {
-    val out = s"/root/repo/target/stream-sink/${tag}_${System.nanoTime()}"
+    // registered for deletion at end-of-unit-of-work (clearCaches): the
+    // read-back result is lazy, so the sink dir must outlive this method
+    val out = graft.CacheRegistry.trackPath(
+      s"/root/repo/target/stream-sink/${tag}_${System.nanoTime()}")
     val q = df.writeStream.format("parquet")
       .option("path", out)
       .option("checkpointLocation", s"$out/_ckpt")

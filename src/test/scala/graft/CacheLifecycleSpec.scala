@@ -49,6 +49,22 @@ class CacheLifecycleSpec extends SparkSpec {
       s"localCheckpoint RDDs not drained by ContextCleaner: ${checkpoints.keys.toSeq.sorted}")
   }
 
+  test("streaming file-sink scratch dirs are deleted by clearCaches") {
+    val before = Option(new java.io.File("target/stream-sink").listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    // st3 drains through the parquet file sink; its output + checkpoint are
+    // scratch that must not outlive the unit of work
+    SparkEntry.queries("st3_stream_dedup")(spark, sf).count()
+    val created = Option(new java.io.File("target/stream-sink").listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty) -- before
+    assert(created.nonEmpty, "file-sink drain created no scratch dir — spec is vacuous")
+    graft.queries.TextQueries.clearCaches()
+    val after = Option(new java.io.File("target/stream-sink").listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    assert(created.forall(!after(_)),
+      s"sink scratch leaked past clearCaches: ${created.intersect(after)}")
+  }
+
   test("evicting one dataset releases its memoized stages; others stay warm") {
     graft.queries.TextQueries.clearCaches()
     val dirA = sf
