@@ -107,7 +107,25 @@ object HeavyHitters {
     * worst case. Every return path is therefore exact.
     */
   def topkExactCertified(words: DataFrame, wCol: String, k: Int,
-                         capacity0: Int = 64, maxRounds: Int = 6): DataFrame = {
+                         capacity0: Int = 64, maxRounds: Int = 6): DataFrame =
+    topkExactCertifiedWithStats(words, wCol, k, capacity0, maxRounds).result
+
+  /** The certification outcome alongside the rows: `certifiedRounds` is the
+    * number of MG rounds run (0 when the input is empty and certification
+    * is vacuous), `fellBack` is true iff `maxRounds` escalations all failed
+    * and the plain exact groupBy path produced the result. The rows are
+    * exact either way — this exists so a caller at 100 TB can SEE that it
+    * just paid a one-row-per-distinct-key shuffle instead of discovering it
+    * in a stage graph.
+    */
+  final case class CertifiedTopk(result: DataFrame, certifiedRounds: Int,
+                                 finalCapacity: Int, fellBack: Boolean)
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** [[topkExactCertified]] with the certification signal surfaced. */
+  def topkExactCertifiedWithStats(words: DataFrame, wCol: String, k: Int,
+                                  capacity0: Int = 64, maxRounds: Int = 6): CertifiedTopk = {
     val n = words.count()
     var cap = capacity0
     var rounds = 0
@@ -116,11 +134,17 @@ object HeavyHitters {
       rounds += 1
       val kth = topk.agg(min(col("n"))).head()
       val kthCount = if (kth.isNullAt(0)) 0L else kth.getLong(0)
-      if (kthCount > n / cap) return topk
+      if (kthCount > n / cap) return CertifiedTopk(topk, rounds, cap, fellBack = false)
       cap *= 8
     }
-    // Certification never held: exact fallback, never an unverified result.
-    words.groupBy(wCol).agg(count(lit(1)).as("n"))
+    // Certification never held: exact fallback, never an unverified result —
+    // and never a SILENT one: the caller asked for the bounded-shuffle path
+    // and is about to pay the full-cardinality shuffle instead.
+    log.warn(s"HeavyHitters.topkExactCertified: certification failed after " +
+      s"$maxRounds rounds (final capacity ${cap / 8}, n=$n) -- falling back " +
+      s"to the exact one-row-per-distinct-key groupBy")
+    val exact = words.groupBy(wCol).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(wCol)).limit(k)
+    CertifiedTopk(exact, rounds, cap / 8, fellBack = true)
   }
 }

@@ -362,12 +362,18 @@ object AnalyticsQueries {
           countDistinct(col(c)).as(s"dist_$c"),
           approx_count_distinct(col(c), 0.02).as(s"approx_$c"))
       }
+      // approx_ok bound = 3·rsd (rsd=0.02 → ±6%): a 3σ margin on the HLL++
+      // estimator's standard error, so a genuinely high-cardinality column
+      // on a future dataset stays inside the gate with ~99.7% headroom
+      // instead of the old ±5% (≈2.5σ) bound that the sketch could
+      // deterministically exceed while behaving exactly as configured.
+      val rsdBound = 3 * 0.02
       li.agg(aggs.head, aggs.tail: _*)
         .select(explode(array(cols.map { c =>
           struct(lit(c).as("col_name"), col("n"), col(s"null_$c").as("n_null"),
             col(s"dist_$c").as("n_distinct"),
             when(abs(col(s"approx_$c") - col(s"dist_$c"))
-              / col(s"dist_$c") <= 0.05, lit(1)).otherwise(lit(0))
+              / col(s"dist_$c") <= rsdBound, lit(1)).otherwise(lit(0))
               .as("approx_ok"))
         }: _*)).as("r"))
         .select(col("r.*"))

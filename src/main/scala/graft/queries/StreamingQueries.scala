@@ -10,11 +10,11 @@ import graft.{Q, Tables}
   *
   * Each query drains synchronously (AvailableNow) so its result is a plain
   * DataFrame the driver can hash-compare; the oracle is the equivalent
-  * batch query. Complete-mode aggregations land in the memory sink (their
-  * output is state-sized); append-mode queries land in the PARQUET file
-  * sink and are read back — the memory sink is a driver-side collect,
-  * which the sf10 probe proved non-scalable (st6 overflowed
-  * `spark.driver.maxResultSize` at ~10M rows).
+  * batch query. EVERY query drains to the PARQUET file sink (append mode
+  * directly; complete mode via foreachBatch distributed overwrite) and is
+  * read back — the memory sink is a driver-side collect, which the sf10
+  * probe proved non-scalable (st6 overflowed `spark.driver.maxResultSize`
+  * at ~10M rows), so no streaming query materializes rows on the driver.
   * At scale the same plan runs continuously with a watermark bounding state
   * (see graft.streaming.EventStream for the watermarked append-mode variant).
   */
@@ -33,27 +33,57 @@ object StreamingQueries {
     * time per batch (~5 s wall on 32 threads) against a join that costs
     * well under 1 s; at 8 partitions the same query runs ~1.7 s with 5k
     * state rows per partition. At cluster scale the same arithmetic applies
-    * upward: raise this until per-partition state fits memory and commit
-    * parallelism saturates, and re-partition via a fresh checkpoint when
-    * state grows — the mechanics of that migration (count frozen at first
-    * checkpoint, fresh checkpoint picks up the larger count, results
+    * upward: raise the count until per-partition state fits memory and
+    * commit parallelism saturates, and re-partition via a fresh checkpoint
+    * when state grows — the mechanics of that migration (count frozen at
+    * first checkpoint, fresh checkpoint picks up the larger count, results
     * identical) are executed in StreamingScaleOutSpec, and the measured
     * effect at sf10 is recorded in BENCH_SCALE.md.
     *
-    * `SPARK_GRAFT_STATE_PARTITIONS` overrides the default for scale probes
-    * (each Bench/Verify run starts a fresh checkpoint, so the override is
-    * exactly the re-checkpoint-at-new-count migration).
+    * Since every Verify/Bench run starts a fresh checkpoint, the count is
+    * CHOSEN here at fresh-checkpoint time from the staged input volume
+    * (see [[autoStatePartitions]]) rather than wired to a local[32]
+    * profile constant — at 100× data a fresh checkpoint should not keep
+    * sf0.1's 8 unless an operator remembers an env var.
+    * `SPARK_GRAFT_STATE_PARTITIONS` remains the explicit override for
+    * scale probes and cluster tuning.
     */
-  private val StatePartitions =
-    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(8)
+  private def statePartitionsFor(s: SparkSession, dir: String): Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse {
+      val n = stagedRows.getOrElseUpdate(dir, s.read.parquet(dir).count())
+      autoStatePartitions(n)
+    }
+
+  /** Input rows per staged events dir — counted once (parquet metadata
+    * count, no column IO) and memoized for the session.
+    */
+  private val stagedRows = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Auto-sizing rule, calibrated on the measured profiles: one state
+    * partition per ~320k input events, rounded up to a power of two,
+    * floored at 8 and capped at 64. That lands exactly on the two measured
+    * optima — 100k events (sf0.1) → 8 (st4: 5k state rows/partition,
+    * commit overhead negligible) and 10M events (sf10) → 32 (st2 median
+    * 15.5 → 11.4 s vs the frozen default, BENCH_SCALE.md). Power-of-two
+    * rounding keeps re-checkpoint migrations between neighboring sizes
+    * predictable; the 64 cap is this harness's thread budget — on a real
+    * cluster raise it with executor count.
+    */
+  private[graft] def autoStatePartitions(inputRows: Long): Int = {
+    val raw = math.max(1L, math.ceil(inputRows / 320000.0).toLong)
+    var p2 = 1L
+    while (p2 < raw) p2 *= 2
+    math.min(64L, math.max(8L, p2)).toInt
+  }
 
   /** Run `f` (a streaming-query start + drain) with state partitioning
-    * sized for the stateful operators; restores the session's batch shuffle
-    * setting afterwards, so only the stream's checkpoint picks it up.
+    * sized for the staged input (env override wins); restores the session's
+    * batch shuffle setting afterwards, so only the stream's checkpoint
+    * picks it up.
     */
-  private def withStatePartitions[T](s: SparkSession)(f: => T): T = {
+  private def withStatePartitions[T](s: SparkSession, dir: String)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    s.conf.set("spark.sql.shuffle.partitions", statePartitionsFor(s, dir).toString)
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -74,9 +104,7 @@ object StreamingQueries {
     * probe, st6's ~10M enriched rows overflowed
     * `spark.driver.maxResultSize` — precisely the non-scalable harness the
     * file sink replaces (executors write partitions directly; the driver
-    * never holds rows). Complete-mode aggregations (st1/st2) keep the
-    * memory sink: their state-sized output is what complete mode is for,
-    * and the file sink does not support complete output anyway.
+    * never holds rows).
     */
   private def drainToParquet(s: SparkSession, df: DataFrame, tag: String): DataFrame = {
     // registered for deletion at end-of-unit-of-work (clearCaches): the
@@ -90,6 +118,33 @@ object StreamingQueries {
       .start()
     q.awaitTermination()
     s.read.parquet(out)
+  }
+
+  /** Drain a COMPLETE-mode aggregation to parquet without ever landing rows
+    * on the driver. The file sink rejects complete output, so this uses
+    * `foreachBatch` + a distributed overwrite: each micro-batch rewrites
+    * the full (state-sized) result from the executors, and the final
+    * overwrite — the batch after the last input file — is the complete
+    * answer. With this, NO streaming query in the pack materializes
+    * results through the driver (the memory sink's collect), making the
+    * no-driver-rows property universal; StreamingPlanSpec asserts no
+    * memory-sink query remains. Complete-mode output is still inherently
+    * state-sized — the watermarked append-mode variants (st4/st5,
+    * graft.streaming.EventStream) remain the unbounded-cardinality path.
+    */
+  private def drainCompleteToParquet(s: SparkSession, df: DataFrame, tag: String): DataFrame = {
+    val out = graft.CacheRegistry.trackPath(
+      s"/root/repo/target/stream-sink/${tag}_${System.nanoTime()}")
+    val data = s"$out/data"
+    val q = df.writeStream
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/_ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(data)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(data)
   }
 
   /** ST4's streaming plan, pre-sink: views joined to same-user clicks in the
@@ -160,17 +215,11 @@ object StreamingQueries {
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin) { (s, d) =>
       val dir = stageEvents(s, d)
       val schema = s.read.parquet(dir).schema
-      val name = s"st1_out_${System.nanoTime()}"
-      withStatePartitions(s) {
-        val q = s.readStream.schema(schema).parquet(dir)
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("complete").trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(name)
+      val agg = s.readStream.schema(schema).parquet(dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      val res = withStatePartitions(s, dir) { drainCompleteToParquet(s, agg, "st1") }
+      res
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("event_type"), col("n"), col("total"))
         .orderBy("hour_start", "event_type")
@@ -197,17 +246,11 @@ object StreamingQueries {
         |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
       val dir = stageEvents(s, d)
       val schema = s.read.parquet(dir).schema
-      val name = s"st2_out_${System.nanoTime()}"
-      withStatePartitions(s) {
-        val q = s.readStream.schema(schema).parquet(dir)
-          .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("complete").trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(name)
+      val agg = s.readStream.schema(schema).parquet(dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      val res = withStatePartitions(s, dir) { drainCompleteToParquet(s, agg, "st2") }
+      res
         .select(col("user_id"),
           date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
             .as("session_start"),
@@ -231,7 +274,7 @@ object StreamingQueries {
         | AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 1 HOUR
         |ORDER BY view_id, click_id""".stripMargin) { (s, d) =>
       val dir = stageEvents(s, d)
-      val res = withStatePartitions(s) { drainToParquet(s, st4Joined(s, dir), "st4") }
+      val res = withStatePartitions(s, dir) { drainToParquet(s, st4Joined(s, dir), "st4") }
       res.select(col("view_id"), col("click_id"), col("user_id"),
           date_format(col("vts"), "yyyy-MM-dd HH:mm:ss").as("vt"),
           date_format(col("cts"), "yyyy-MM-dd HH:mm:ss").as("ct"))
@@ -248,7 +291,7 @@ object StreamingQueries {
         |       round(value, 2) AS v
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       val dir = stageEvents(s, d)
-      val res = withStatePartitions(s) { drainToParquet(s, st3Deduped(s, dir), "st3") }
+      val res = withStatePartitions(s, dir) { drainToParquet(s, st3Deduped(s, dir), "st3") }
       res.select(col("event_id"), col("user_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"),
           round(col("value"), 2).as("v"))
@@ -265,7 +308,7 @@ object StreamingQueries {
         |       round(value, 2) AS v
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       val dir = stageEvents(s, d)
-      val res = withStatePartitions(s) { drainToParquet(s, st5Deduped(s, dir), "st5") }
+      val res = withStatePartitions(s, dir) { drainToParquet(s, st5Deduped(s, dir), "st5") }
       res.select(col("event_id"), col("user_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"),
           round(col("value"), 2).as("v"))
@@ -281,7 +324,7 @@ object StreamingQueries {
         |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
         |GROUP BY 1 ORDER BY n_name""".stripMargin) { (s, d) =>
       val dir = stageEvents(s, d)
-      val res = withStatePartitions(s) { drainToParquet(s, st6Enriched(s, dir, d), "st6") }
+      val res = withStatePartitions(s, dir) { drainToParquet(s, st6Enriched(s, dir, d), "st6") }
       res.groupBy("n_name")
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
         .orderBy("n_name")

@@ -218,7 +218,11 @@ object TextQueries {
     // evaluated in INTEGER arithmetic ((n3 - nd) * 5 > n3) — no float
     // ratio exists anywhere, so the flag can never sit on a rounding
     // boundary between engines. Whitespace class pinned to [ \t\n\f\r]+
-    // in both engines (Java \s matches \x0B, RE2's does not).
+    // in both engines (Java \s matches \x0B, RE2's does not). The oracle's
+    // range(1024) position bound is the same corpus assumption as
+    // `shingleCtes` above, and it is spec-pinned: TextDedupSpec asserts
+    // max tokens/doc ≤ 900 on every base dir (ScaleData transforms are
+    // token-count-invariant, so the bound holds at all synthesized SFs).
     Q("t12_repetition",
       """WITH t AS (SELECT doc_id,
         |             regexp_split_to_array(trim(text), '[ \t\n\f\r]+') AS toks

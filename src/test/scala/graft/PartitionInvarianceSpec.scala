@@ -4,9 +4,12 @@ package graft
   * the property that lets the same query run on 4 local threads and 1000
   * executors. The driver's oracle gate proves it indirectly (Verify runs
   * have used 4, 7, and 32 shuffle partitions across rounds); this spec pins
-  * it in-repo for the operators whose ALGORITHMS touch partitioning:
-  * id1 (range-partitioned rank + per-partition offsets) and w1 (running
-  * window over an explicit total order).
+  * it in-repo with one representative per family whose ALGORITHM touches
+  * partitioning or hash-derived sampling:
+  * id1 (range-partitioned rank + per-partition offsets), w1 (running
+  * window over an explicit total order), sp4 (md5-derived weighted sample),
+  * sp5 (source-mixture sample), sp3 (leak-proof train/val/test split),
+  * bal1 (language rebalance via hash sampling), z1 (Morton z-order key).
   */
 class PartitionInvarianceSpec extends SparkSpec {
 
@@ -19,7 +22,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  for (name <- Seq("id1_global_ids", "w1_window_running")) {
+  for (name <- Seq("id1_global_ids", "w1_window_running", "sp4_weighted_sample",
+                   "sp5_source_mixture", "sp3_train_val_test",
+                   "bal1_language_balance", "z1_zorder_key")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),

@@ -40,4 +40,21 @@ class TextDedupSpec extends SparkSpec {
       .select("a", "b").orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L), (3L, 4L)))
   }
+
+  // The shingle/position oracles (t5/t12/dd-family CorpusQueries) enumerate
+  // positions via a `range(1024)` constant cross join in DuckDB while the
+  // Spark side enumerates ALL positions; a doc longer than ~1026 tokens
+  // would silently diverge on the oracle side only. This pins the data
+  // assumption the comment makes: every corpus doc fits the bound with
+  // margin. ScaleData's replica transforms are per-letter bijections +
+  // token rotations, so token counts are invariant and this bound proved
+  // on the base dirs holds at every synthesized SF too.
+  test("corpus max tokens/doc stays far below the 1024 oracle range bound") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val maxToks = graft.Tables.documents(spark, sf)
+        .select(size(split(trim(col("text")), "[ \\t\\n\\f\\r]+")).as("n"))
+        .agg(max("n")).first().getInt(0)
+      assert(maxToks <= 900, s"$sf max tokens/doc $maxToks breaches the range(1024) oracle bound margin")
+    }
+  }
 }

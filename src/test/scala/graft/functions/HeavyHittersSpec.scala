@@ -62,4 +62,24 @@ class HeavyHittersSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("flat0001", 2L), ("flat0002", 2L), ("flat0003", 2L)))
   }
+
+  test("fallback engagement is observable, certification is signalled when it holds") {
+    // flat data, maxRounds=1: the fallback MUST engage and say so
+    val flat = (1 to 500).flatMap(i => Seq(f"flat$i%04d", f"flat$i%04d"))
+      .toDF("w").repartition(8)
+    val fb = HeavyHitters.topkExactCertifiedWithStats(flat, "w", k = 3,
+      capacity0 = 2, maxRounds = 1)
+    assert(fb.fellBack)
+    assert(fb.certifiedRounds == 1)
+    assert(fb.result.as[(String, Long)].collect().toSeq ==
+      Seq(("flat0001", 2L), ("flat0002", 2L), ("flat0003", 2L)))
+    // skewed data: certification holds, no fallback, capacity reported
+    val skew = (Seq.fill(300)("a") ++ Seq.fill(200)("b") ++ Seq.fill(100)("c")
+      ++ (1 to 400).map(i => s"tail$i")).toDF("w").repartition(8)
+    val ok = HeavyHitters.topkExactCertifiedWithStats(skew, "w", k = 3, capacity0 = 16)
+    assert(!ok.fellBack)
+    assert(ok.certifiedRounds >= 1 && ok.finalCapacity >= 16)
+    assert(ok.result.as[(String, Long)].collect().toSeq ==
+      Seq(("a", 300L), ("b", 200L), ("c", 100L)))
+  }
 }

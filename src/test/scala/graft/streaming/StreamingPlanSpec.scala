@@ -75,6 +75,38 @@ class StreamingPlanSpec extends SparkSpec {
       s"no watermark feeding the dedup state bound:\n$plan")
   }
 
+  test("no pack streaming query drains through the memory sink") {
+    // source lint: the pack must never construct a memory sink — every
+    // query drains executor-side via the parquet file sink (append) or
+    // foreachBatch distributed overwrite (complete). The memory sink in
+    // THIS spec's harness is plan-capture only, never a pack result path.
+    val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "src/main/scala/graft/queries/StreamingQueries.scala")), "UTF-8")
+    assert(!src.contains("format(\"memory\")"),
+      "StreamingQueries constructs a memory sink — a driver-side collect")
+    // runtime: the former memory-sink queries leave no temp view behind
+    // (the memory sink registers its queryName as one)
+    val before = spark.catalog.listTables().collect().map(_.name).toSet
+    for (name <- Seq("st1_stream_window", "st2_session_window")) {
+      assert(graft.SparkEntry.queries(name)(spark, sf).count() > 0)
+    }
+    val after = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(after == before,
+      s"streaming query registered memory-sink temp views: ${after -- before}")
+  }
+
+  test("state partitions auto-size from staged input volume at fresh-checkpoint time") {
+    // calibrated anchors: the sf0.1 profile (100k events) must keep the
+    // measured optimum 8; the sf10 probe (10M events) must pick the
+    // measured optimum 32 (st2 15.5→11.4 s, BENCH_SCALE.md) WITHOUT the
+    // env override; the cap bounds the local harness
+    assert(StreamingQueries.autoStatePartitions(1000) == 8)        // sf0.001
+    assert(StreamingQueries.autoStatePartitions(100000) == 8)      // sf0.1
+    assert(StreamingQueries.autoStatePartitions(1000000) == 8)     // sf1
+    assert(StreamingQueries.autoStatePartitions(10000000) == 32)   // sf10
+    assert(StreamingQueries.autoStatePartitions(100000000) == 64)  // capped
+  }
+
   test("st6 stream-static join broadcasts the dimension and keeps no state") {
     val dir = StreamingQueries.stageEvents(spark, sf)
     val plan = executedPlan(StreamingQueries.st6Enriched(spark, dir, sf),

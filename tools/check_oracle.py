@@ -56,12 +56,20 @@ def run(views, out_dir):
     # Skips are printed loudly -- an excluded query is a documented hole,
     # never a silent pass.
     skip = set(filter(None, os.environ.get("GRAFT_ORACLE_SKIP", "").split(",")))
-    # GRAFT_ORACLE_ONLY: restrict to these names (for retrying a batch in a
-    # fresh process after a resource-cascade failure) -- mirrors the
-    # Spark-side SPARK_GRAFT_ONLY convention.
+    # GRAFT_ORACLE_ONLY: restrict to these name PREFIXES (for retrying a
+    # batch in a fresh process after a resource-cascade failure) -- same
+    # prefix semantics as the Spark-side SPARK_GRAFT_ONLY (Verify.scala uses
+    # n.startsWith), so the same filter string selects the same queries on
+    # both sides. An ONLY filter that selects nothing is an error, not a
+    # green run: exit non-zero so a typo'd retry can't look like a pass.
     only = set(filter(None, os.environ.get("GRAFT_ORACLE_ONLY", "").split(",")))
     if only:
-        oracles = {k: v for k, v in oracles.items() if k in only}
+        oracles = {k: v for k, v in oracles.items()
+                   if any(k.startswith(p) for p in only)}
+        if not oracles:
+            print(f"FAIL: GRAFT_ORACLE_ONLY={','.join(sorted(only))} "
+                  "selected zero oracles -- nothing was checked")
+            sys.exit(1)
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
         if name in skip:
