@@ -30,19 +30,82 @@ object ScaleData {
   val upper: String = lower.toUpperCase
   private def rot(s: String, r: Int) = s.drop(r % s.length) + s.take(r % s.length)
 
-  /** 104 distinct letter bijections (rotation × case-swap × reversal), so
-    * up to 104 replicas stay pairwise non-near-duplicate. r < 26 is the
-    * plain rotation — identical to the original sf1 generation, so
-    * previously measured sf1 artifacts remain reproducible bit-for-bit.
-    * Distinctness + identity-at-0 are spec-gated (ScaleDataSpec).
+  /** Replica count the transform families are spec-certified for: ScaleDataSpec
+    * proves pairwise-distinct letter bijections (with a low letter-agreement
+    * bound) AND pairwise-distinct embedding transforms over `0 until maxReps`.
+    * Raising this only requires re-running the spec — the families themselves
+    * are unbounded.
+    */
+  val maxReps = 416
+
+  /** SplitMix64 — the public-domain mixer (Steele et al., JDK
+    * `SplittableRandom`); used to seed per-replica deterministic shuffles
+    * and sign masks so every replica transform is a pure function of r.
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Distinct letter bijections so up to [[maxReps]] replicas stay pairwise
+    * non-near-duplicate.
+    *
+    * r < 104: rotation × case-swap × reversal — byte-identical to the maps
+    * that generated the previously measured sf1/sf10 artifacts, so those
+    * remain reproducible bit-for-bit (r < 26 is the plain rotation of the
+    * original sf1 generation).
+    *
+    * r ≥ 104: a seeded Fisher–Yates shuffle of the alphabet (SplitMix64
+    * stream keyed by r). Two shuffled maps agree on ~1 letter in
+    * expectation, and a shingle survives a map change only if EVERY letter
+    * in it is a fixed point — (agree/26)^len, negligible — so cross-replica
+    * shingle/near-dup density stays that of the base corpus. Distinctness,
+    * identity-at-0, and the pairwise agreement bound are spec-gated
+    * (ScaleDataSpec) over `0 until maxReps`.
     */
   def perm(r: Int): String = {
-    val (lo, up) = (rot(lower, r % 26), rot(upper, r % 26))
-    (r / 26) % 4 match {
-      case 0 => lo + up
-      case 1 => up + lo
-      case 2 => lo.reverse + up.reverse
-      case _ => up.reverse + lo.reverse
+    if (r < 104) {
+      val (lo, up) = (rot(lower, r % 26), rot(upper, r % 26))
+      (r / 26) % 4 match {
+        case 0 => lo + up
+        case 1 => up + lo
+        case 2 => lo.reverse + up.reverse
+        case _ => up.reverse + lo.reverse
+      }
+    } else {
+      val arr = lower.toCharArray
+      var s = r.toLong * 0xD1B54A32D192ED03L
+      for (i <- 25 to 1 by -1) {
+        s = mix64(s)
+        val j = java.lang.Math.floorMod(s, (i + 1).toLong).toInt
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+      }
+      val lo = new String(arr)
+      lo + lo.toUpperCase
+    }
+  }
+
+  /** Per-replica embedding transform parameters: (cyclic shift, per-dim ±1
+    * sign mask) — both norm-preserving, replica 0 the identity.
+    *
+    * r < 128: the original family (shift r mod 64; one GLOBAL sign flip once
+    * the shifts wrap) — byte-identical to the sf1/sf10 generation.
+    *
+    * r ≥ 128: the shift composes with a per-dimension sign mask drawn from
+    * SplitMix64(r)'s 64 bits, giving 2^64 masks per shift — transforms stay
+    * pairwise distinct far past [[maxReps]] (spec-gated over the certified
+    * range) and replica neighborhoods stay non-degenerate.
+    */
+  def embTransform(r: Int, dim: Int = 64): (Int, Array[Int]) = {
+    val k = r % dim
+    if (r < 128) {
+      val sign = if ((r / 64) % 2 == 1) -1 else 1
+      (k, Array.fill(dim)(sign))
+    } else {
+      val bits = mix64(r.toLong * 0x2545F4914F6CDD1DL)
+      (k, Array.tabulate(dim)(i => if (((bits >>> (i % 64)) & 1L) == 1L) -1 else 1))
     }
   }
 
@@ -50,12 +113,12 @@ object ScaleData {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("scaledata/sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
-    // perm() yields 104 distinct letter bijections (26 rotations × 4
-    // case/reversal variants); beyond that, replicas would silently reuse
-    // letter maps and become exact near-duplicates, breaking the density
-    // property ScaleDataSpec gates. Extend the bijection family before
-    // raising this.
-    require(reps <= 104, s"reps=$reps exceeds the 104 distinct letter bijections")
+    // The transform families are unbounded, but distinctness (the density
+    // property BENCH_SCALE.md rests on) is only spec-PROVED up to maxReps;
+    // past it, replicas could silently reuse maps and become exact
+    // near-duplicates. Extend ScaleDataSpec's certified range before raising.
+    require(reps <= maxReps,
+      s"reps=$reps exceeds the $maxReps spec-certified distinct transforms")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.build("graft-scaledata", cpus.toInt)
     // events.ts is parquet TIMESTAMP(NANOS) (see Tables.events): read the
@@ -107,14 +170,24 @@ object ScaleData {
     replicate("documents", Map("doc_id" -> dk), (df, r) =>
       df.withColumn("text", translate(col("text"), lower + upper, perm(r))),
       parts = 16)
-    // cyclic shift by r mod dim; sign-flip once the shifts wrap, so every
-    // replica's vectors stay distinct (both transforms preserve norms)
+    // cyclic shift by r mod dim composed with a sign mask (embTransform) —
+    // both norm-preserving, so replica vectors stay distinct without
+    // reshaping any neighborhood. r < 128 keeps the original expr verbatim
+    // (bit-identical regeneration of the measured sf1/sf10 artifacts).
     replicate("embeddings", Map("vec_id" -> vk), (df, r) => {
-      val k = r % 64
-      val sign = if ((r / 64) % 2 == 1) "-x" else "x"
-      df.withColumn("embedding", expr(
-        s"transform(concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
-          s"slice(embedding, 1, $k)), x -> $sign)"))
+      val (k, mask) = embTransform(r)
+      val shifted =
+        s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
+          s"slice(embedding, 1, $k))"
+      val ex =
+        if (r < 128) {
+          val sign = if (mask(0) < 0) "-x" else "x"
+          s"transform($shifted, x -> $sign)"
+        } else {
+          val m = mask.mkString("array(", ", ", ")")
+          s"zip_with($shifted, $m, (x, s) -> x * cast(s AS FLOAT))"
+        }
+      df.withColumn("embedding", expr(ex))
     }, parts = 8)
 
     spark.stop()

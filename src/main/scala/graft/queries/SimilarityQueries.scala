@@ -125,20 +125,50 @@ object SimilarityQueries {
     // scanning 47% of pairs at sf0.1). The LSH-candidate variant for the
     // high-cosine regime is dd5b below (recall-gated in its oracle).
     Q("dd5_embedding_neardup",
-      """WITH n AS (SELECT vec_id, sqrt(sum(CAST(embedding[r.range+1] AS DOUBLE)
-        |                                   * CAST(embedding[r.range+1] AS DOUBLE))) AS nrm
-        |           FROM embeddings, range(64) r GROUP BY vec_id),
-        |d AS (SELECT a.vec_id AS i, b.vec_id AS j,
-        |             sum(CAST(a.embedding[r.range+1] AS DOUBLE)
-        |                 * CAST(b.embedding[r.range+1] AS DOUBLE)) AS dot
-        |      FROM embeddings a, embeddings b, range(64) r
-        |      WHERE a.vec_id < b.vec_id GROUP BY 1, 2)
-        |SELECT i, j, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
-        |FROM d JOIN n na ON na.vec_id = i JOIN n nb ON nb.vec_id = j
-        |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.45
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS v,
+        |         sqrt(array_inner_product(CAST(embedding AS DOUBLE[64]),
+        |                                  CAST(embedding AS DOUBLE[64]))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS i, b.vec_id AS j,
+        |       round(array_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(array_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.45
         |ORDER BY i, j""".stripMargin) { (s, d) =>
       graft.similarity.AllPairs.cosinePairs(
         Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45)
+        .orderBy("i", "j")
+    },
+
+    // ── DD5C: the SAMPLED exact referee — dd5's semantics restricted to a
+    // deterministic md5-bucket vector sample sized in-plan to ~2000 rows
+    // (AllPairs.sampledCosinePairs). The pair subset is identical in both
+    // engines at ANY corpus size, so this row keeps exact-cosine near-dup
+    // verification two-engine-checkable at scale factors where the full
+    // O(n²·dim) baseline is infeasible in the oracle (at sf10's 200k
+    // vectors the full referee is 2×10¹⁰ pair-cosines; the sample stays
+    // ~2×10⁶). The 0.35 threshold sits below dd5's 0.45, inside the
+    // background-cosine tail, so the row count is meaningful at every SF
+    // (272 / 4.1k / 4.6k pairs at sf0.01/0.1/1).
+    Q("dd5c_neardup_sampled",
+      """WITH t AS (SELECT least(65536, 131072000 // count(*)) AS t FROM embeddings),
+        |s AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS v,
+        |         sqrt(array_inner_product(CAST(embedding AS DOUBLE[64]),
+        |                                  CAST(embedding AS DOUBLE[64]))) AS nrm
+        |  FROM embeddings, t
+        |  WHERE (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |      + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 4, 1)) - 1) < t.t)
+        |SELECT a.vec_id AS i, b.vec_id AS j,
+        |       round(array_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+        |FROM s a JOIN s b ON a.vec_id < b.vec_id
+        |WHERE round(array_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.35
+        |ORDER BY i, j""".stripMargin) { (s, d) =>
+      graft.similarity.AllPairs.sampledCosinePairs(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.35, targetSample = 2000)
         .orderBy("i", "j")
     },
 
@@ -156,17 +186,14 @@ object SimilarityQueries {
     // which is exactly why dd5's exact plan is the recommended operator
     // there). A broken banding/verify flips the flag → hash mismatch.
     Q("dd5b_embedding_neardup_lsh",
-      """WITH n AS (SELECT vec_id, sqrt(sum(CAST(embedding[r.range+1] AS DOUBLE)
-        |                                   * CAST(embedding[r.range+1] AS DOUBLE))) AS nrm
-        |           FROM embeddings, range(64) r GROUP BY vec_id),
-        |d AS (SELECT a.vec_id AS i, b.vec_id AS j,
-        |             sum(CAST(a.embedding[r.range+1] AS DOUBLE)
-        |                 * CAST(b.embedding[r.range+1] AS DOUBLE)) AS dot
-        |      FROM embeddings a, embeddings b, range(64) r
-        |      WHERE a.vec_id < b.vec_id GROUP BY 1, 2)
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS v,
+        |         sqrt(array_inner_product(CAST(embedding AS DOUBLE[64]),
+        |                                  CAST(embedding AS DOUBLE[64]))) AS nrm
+        |  FROM embeddings)
         |SELECT count(*) AS n_exact, 1 AS recall_ok
-        |FROM d JOIN n na ON na.vec_id = i JOIN n nb ON nb.vec_id = j
-        |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.45""".stripMargin) { (s, d) =>
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(array_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.45""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       // 8 tables: the demonstration config — at this corpus-relative
       // threshold more tables only buy candidates, not usable recall

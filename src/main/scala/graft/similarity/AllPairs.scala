@@ -49,4 +49,31 @@ object AllPairs {
       .select(least(col("i"), col("j")).as("i"),
         greatest(col("i"), col("j")).as("j"), col("cos_sim"))
   }
+
+  /** [[cosinePairs]] restricted to a deterministic md5-bucket sample of the
+    * vectors, sized in-plan to ~`targetSample` rows — the referee that keeps
+    * exact-near-dup verification O(target²) at ANY corpus size.
+    *
+    * The sampling rate adapts to the corpus: keep vectors whose md5 bucket
+    * (graft.operators.Sampling, 16-bit) is below `min(65536, 65536·target
+    * div n)`. `n` comes from a 1-row aggregate broadcast — a pure column
+    * function of the data, no driver action — and the integer `div` keeps
+    * both engines' thresholds bit-identical. At 100 TB this is how you
+    * referee a quadratic baseline you cannot afford to run: the sample's
+    * all-pairs stay ~constant work while remaining an exact, deterministic,
+    * cross-engine-reproducible subset of the full pair space.
+    */
+  def sampledCosinePairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetSample: Int = 2000): DataFrame = {
+    import graft.operators.Sampling
+    val t = emb.agg(count(lit(1)).as("n"))
+      .select(least(lit(Sampling.Buckets.toLong),
+        expr(s"${Sampling.Buckets.toLong * targetSample} div n")).as("t"))
+    val sampled = emb
+      .crossJoin(broadcast(t))
+      .filter(Sampling.bucket(col(idCol)) < col("t"))
+      .select(col(idCol), col(vecCol))
+    cosinePairs(sampled, idCol, vecCol, threshold)
+  }
 }

@@ -48,6 +48,33 @@ class AllPairsSpec extends SparkSpec {
     assert(pairs.groupBy("i", "j").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("sampled referee is exactly the full result restricted to the md5 sample") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    // target below the corpus size forces a real sample (sf0.001 has 50
+    // vectors; target 20 -> threshold 26214 keeps ~2/5 of buckets)
+    val sampled = AllPairs.sampledCosinePairs(emb, "vec_id", "embedding",
+      threshold = -1.0, targetSample = 20).orderBy("i", "j").collect().toSeq
+    val keep = graft.operators.Sampling
+      .bucket(col("vec_id")) < lit(65536L * 20 / emb.count()).cast("int")
+    val full = AllPairs.cosinePairs(emb.filter(keep), "vec_id", "embedding", -1.0)
+      .orderBy("i", "j").collect().toSeq
+    assert(sampled == full)
+    assert(sampled.nonEmpty)
+    val ids = sampled.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+    assert(ids.size < 50, "sample did not restrict the vector set")
+  }
+
+  test("sampled referee keeps the whole corpus when target >= corpus size") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val sampled = AllPairs.sampledCosinePairs(emb, "vec_id", "embedding",
+      threshold = 0.35, targetSample = 2000).orderBy("i", "j").collect().toSeq
+    val full = AllPairs.cosinePairs(emb, "vec_id", "embedding", 0.35)
+      .orderBy("i", "j").collect().toSeq
+    assert(sampled == full)
+  }
+
   test("LSH near-dup recall is 1.0 on planted ≥0.9-cosine duplicates") {
     val exact = AllPairs.cosinePairs(planted, "vec_id", "embedding", 0.9)
       .orderBy("i", "j").collect().toSeq

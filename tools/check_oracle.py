@@ -34,6 +34,84 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+MD5_BUCKET = (
+    "(strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 4, 1)) - 1)")
+
+
+def referee_neardup(con, out_dir, threshold=0.45, target_sample=3000):
+    """Scale-feasible exact referee for dd5/dd5b (GRAFT_NEARDUP_REFEREE=1).
+
+    The full DuckDB oracle for the exact near-dup pair set is O(n**2 * dim)
+    -- infeasible past ~20k vectors (sf10 is 200k -> 2e10 pair-cosines).
+    This referee checks the SAME result exactly in O(result + sample**2):
+
+      1. SOUNDNESS: every pair dd5 reported is recomputed in DuckDB from the
+         raw embeddings -- orientation (i < j), no duplicates, exact rounded
+         cosine value, and value >= threshold. O(|result| * dim).
+      2. COMPLETENESS (sampled): a deterministic md5-bucket vector sample
+         (the sp1/dd5c pattern, ~target_sample vectors at any corpus size)
+         is exhaustively paired in DuckDB; every qualifying sampled pair
+         must appear in dd5's reported set. A dropped-pair bug surfaces
+         here with probability -> 1 as dropped pairs accumulate.
+      3. dd5b CONSISTENCY: its n_exact must equal the (now verified) dd5
+         pair count, and recall_ok must be 1.
+
+    Returns (n_ok, n_bad) over the two query names.
+    """
+    n_ok = n_bad = 0
+    rep = f"{out_dir}/dd5_embedding_neardup/*.parquet"
+    con.sql("CREATE OR REPLACE TEMP TABLE ref_e AS "
+            "SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS v, "
+            "sqrt(array_inner_product(CAST(embedding AS DOUBLE[64]), "
+            "CAST(embedding AS DOUBLE[64]))) AS nrm FROM embeddings")
+    con.sql(f"CREATE OR REPLACE TEMP TABLE ref_rep AS SELECT * FROM '{rep}'")
+    n_rep = con.sql("SELECT count(*) FROM ref_rep").fetchone()[0]
+    bad_shape = con.sql(
+        "SELECT count(*) FROM (SELECT i, j FROM ref_rep WHERE i >= j "
+        "UNION ALL SELECT i, j FROM ref_rep GROUP BY 1, 2 HAVING count(*) > 1)"
+    ).fetchone()[0]
+    bad_val = con.sql(
+        "SELECT count(*) FROM ref_rep r "
+        "LEFT JOIN ref_e a ON a.vec_id = r.i LEFT JOIN ref_e b ON b.vec_id = r.j "
+        "WHERE a.vec_id IS NULL OR b.vec_id IS NULL "
+        f"OR round(array_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) <> r.cos_sim "
+        f"OR r.cos_sim < {threshold}").fetchone()[0]
+    n = con.sql("SELECT count(*) FROM ref_e").fetchone()[0]
+    t = min(65536, 65536 * target_sample // n)
+    con.sql("CREATE OR REPLACE TEMP TABLE ref_s AS "
+            f"SELECT * FROM ref_e WHERE {MD5_BUCKET} < {t}")
+    n_s = con.sql("SELECT count(*) FROM ref_s").fetchone()[0]
+    qual, missing = con.sql(
+        "SELECT count(*), count(*) FILTER (r.i IS NULL) "
+        "FROM ref_s a JOIN ref_s b ON a.vec_id < b.vec_id "
+        "LEFT JOIN ref_rep r ON r.i = a.vec_id AND r.j = b.vec_id "
+        f"WHERE round(array_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) "
+        f">= {threshold}").fetchone()
+    if bad_shape or bad_val or missing:
+        print(f"FAIL dd5_embedding_neardup (sampled-referee: shape={bad_shape} "
+              f"value={bad_val} missing-from-sample={missing}/{qual})")
+        n_bad += 1
+    else:
+        print(f"ok   dd5_embedding_neardup ({n_rep} rows, sampled-referee: "
+              f"all sound; {qual} qualifying pairs over {n_s} sampled vectors "
+              "all present)")
+        n_ok += 1
+    b = con.sql("SELECT n_exact, recall_ok FROM "
+                f"'{out_dir}/dd5b_embedding_neardup_lsh/*.parquet'").fetchone()
+    if b[0] == n_rep and b[1] == 1 and not (bad_shape or bad_val or missing):
+        print(f"ok   dd5b_embedding_neardup_lsh (1 rows, referee: n_exact="
+              f"{b[0]} == verified dd5 pair count, recall_ok=1)")
+        n_ok += 1
+    else:
+        print(f"FAIL dd5b_embedding_neardup_lsh (n_exact={b[0]} vs verified "
+              f"{n_rep}, recall_ok={b[1]})")
+        n_bad += 1
+    return n_ok, n_bad
+
+
 def run(views, out_dir):
     """Compare every oracle in out_dir/oracle_sql.json against DuckDB views.
 
@@ -71,6 +149,16 @@ def run(views, out_dir):
                   "selected zero oracles -- nothing was checked")
             sys.exit(1)
     n_ok = n_bad = 0
+    n_total = len(oracles)
+    # GRAFT_NEARDUP_REFEREE=1: check dd5/dd5b via the O(result + sample^2)
+    # exact referee instead of their O(n^2 * dim) full oracles (scale dirs
+    # where the quadratic baseline is infeasible IN DUCKDB).
+    referee = {"dd5_embedding_neardup", "dd5b_embedding_neardup_lsh"}
+    if os.environ.get("GRAFT_NEARDUP_REFEREE") and referee & set(oracles):
+        oracles = {k: v for k, v in oracles.items() if k not in referee}
+        ok, bad = referee_neardup(con, out_dir)
+        n_ok += ok
+        n_bad += bad
     for name, sql in sorted(oracles.items()):
         if name in skip:
             print(f"SKIP {name} (GRAFT_ORACLE_SKIP)")
@@ -118,7 +206,7 @@ def run(views, out_dir):
             print(g[bad_rows].head(3))
             print(x[bad_rows].head(3))
             n_bad += 1
-    print(f"\n{n_ok} ok, {n_bad} failed, {len(oracles)} total")
+    print(f"\n{n_ok} ok, {n_bad} failed, {n_total} total")
     sys.exit(1 if n_bad else 0)
 
 
