@@ -42,9 +42,20 @@ object AllPairs {
     // Equi-join on block id; same-block tiles dedupe by id order (each
     // unordered pair lands in exactly one tile, so cross-block pairs need
     // no id-order guard — least/greatest normalizes the output instead).
+    // Spark's round() on a double routes through BigDecimal.valueOf →
+    // Double.toString — string-formatting cost that dwarfs the 64-FMA
+    // cosine when run per pair (measured: it dominated the O(N²) loop's
+    // profile at 200k vectors). Rounding to 4 dp moves a value by ≤5e-5,
+    // so pre-filtering the RAW cosine at threshold − 1e-4 (double the
+    // bound, absorbing the subtraction's own representation error) keeps
+    // every pair that could round up to the threshold and keeps round()
+    // off the quadratic path; survivors' cos_sim is the same round() of
+    // the same double, so the output is bit-identical.
     a.join(b, col("bb") === col("bj") &&
         (col("ba") < col("bj") || col("i") < col("j")))
-      .withColumn("cos_sim", round(expr("cosine_sim(ea, eb)"), 4))
+      .withColumn("raw_sim", expr("cosine_sim(ea, eb)"))
+      .filter(col("raw_sim") >= threshold - 1e-4)
+      .withColumn("cos_sim", round(col("raw_sim"), 4))
       .filter(col("cos_sim") >= threshold)
       .select(least(col("i"), col("j")).as("i"),
         greatest(col("i"), col("j")).as("j"), col("cos_sim"))
