@@ -34,11 +34,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-MD5_BUCKET = (
-    "(strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 4096"
-    " + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) * 256"
-    " + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 3, 1)) - 1) * 16"
-    " + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 4, 1)) - 1)")
+def md5_bucket(col):
+    """16-bit md5 bucket of a key column — graft.operators.Sampling's bucket
+    expressed in DuckDB SQL (same hex-nibble arithmetic on both engines)."""
+    return (
+        f"(strpos('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), 1, 1)) - 1) * 4096"
+        f" + (strpos('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), 2, 1)) - 1) * 256"
+        f" + (strpos('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), 3, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), 4, 1)) - 1)")
+
+
+MD5_BUCKET = md5_bucket("vec_id")
 
 
 def referee_neardup(con, out_dir, threshold=0.45, target_sample=3000):
@@ -112,6 +118,105 @@ def referee_neardup(con, out_dir, threshold=0.45, target_sample=3000):
     return n_ok, n_bad
 
 
+def referee_jaccard(con, out_dir, threshold=0.8, target_sample=2000):
+    """Scale-feasible exact referee for dd2 (GRAFT_NGRAM_REFEREE=1).
+
+    dd2's full DuckDB oracle builds the distinct-3-gram-shingle table for the
+    WHOLE corpus and self-joins it on shingle -- its spill exceeds this box's
+    disk past ~500k documents (sf30 is 1.5M). Jaccard is a pure pair-local
+    function of the two documents' shingle sets, so the dd5 referee pattern
+    (tools/check_oracle.py referee_neardup; SURVEY.md X89) transfers exactly:
+
+      1. SOUNDNESS: every pair dd2 reported is recomputed from raw text, with
+         shingles built ONLY for documents that appear in a reported pair --
+         orientation (a < b), no duplicates, exact rounded jaccard, and
+         unrounded jaccard >= threshold (the oracle's WHERE semantics).
+         O(|result| * shingles-per-doc).
+      2. COMPLETENESS (sampled, two subsets): the FULL oracle pipeline runs
+         on two deterministic document subsets -- restricting the corpus
+         cannot change a sampled doc's own shingle set, so subset-pair
+         jaccards are exact -- and every qualifying subset pair must appear
+         in dd2's reported set.
+         (a) an md5-bucket sample (~target_sample docs): unbiased, but
+             qualifying pairs need BOTH endpoints sampled, and >=0.8
+             near-dups are sparse planted pairs, so its expected hit count
+             scales as |result|*(s/n)^2 -- meaningful at sf1, vacuous by
+             sf30. It stays as the unbiased guard;
+         (b) the first target_sample doc_ids (the base-corpus block --
+             ScaleData replica 0 IS the driver corpus): contains planted
+             near-dup pairs at base density at EVERY scale factor, so this
+             block keeps a ~constant, non-vacuous qualifying-pair count as
+             the corpus grows.
+
+    Returns (n_ok, n_bad) over the one query name.
+    """
+    rep = f"{out_dir}/dd2_ngram_jaccard/*.parquet"
+    con.sql(f"CREATE OR REPLACE TEMP TABLE jrep AS SELECT * FROM '{rep}'")
+    n_rep = con.sql("SELECT count(*) FROM jrep").fetchone()[0]
+    bad_shape = con.sql(
+        "SELECT count(*) FROM (SELECT a, b FROM jrep WHERE a >= b "
+        "UNION ALL SELECT a, b FROM jrep GROUP BY 1, 2 HAVING count(*) > 1)"
+    ).fetchone()[0]
+    shingles = (
+        "SELECT DISTINCT doc_id, toks[r.range+1] || ' ' || toks[r.range+2] "
+        "|| ' ' || toks[r.range+3] AS sh "
+        "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks "
+        "      FROM documents WHERE doc_id IN (SELECT doc_id FROM {docs})) t, "
+        "range(1024) r WHERE r.range < len(toks) - 2")
+    # soundness: rebuild shingle sets for involved docs only, recompute
+    con.sql("CREATE OR REPLACE TEMP TABLE jdocs AS "
+            "SELECT DISTINCT a AS doc_id FROM jrep "
+            "UNION SELECT DISTINCT b FROM jrep")
+    con.sql("CREATE OR REPLACE TEMP TABLE jsh AS " + shingles.format(docs="jdocs"))
+    con.sql("CREATE OR REPLACE TEMP TABLE jsz AS "
+            "SELECT doc_id, count(*) AS sz FROM jsh GROUP BY doc_id")
+    bad_val = con.sql(
+        "SELECT count(*) FROM jrep r "
+        "LEFT JOIN (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter "
+        "           FROM jsh x JOIN jsh y ON y.sh = x.sh AND x.doc_id < y.doc_id "
+        "           GROUP BY 1, 2) i ON i.a = r.a AND i.b = r.b "
+        "LEFT JOIN jsz sa ON sa.doc_id = r.a LEFT JOIN jsz sb ON sb.doc_id = r.b "
+        "WHERE i.inter IS NULL OR sa.sz IS NULL OR sb.sz IS NULL "
+        "OR round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 4) <> r.jaccard "
+        f"OR i.inter * 1.0 / (sa.sz + sb.sz - i.inter) < {threshold}"
+    ).fetchone()[0]
+    # sampled completeness: full oracle pipeline on an md5-bucket doc subset
+    n = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    t = min(65536, 65536 * target_sample // n)
+    con.sql("CREATE OR REPLACE TEMP TABLE jsdoc AS SELECT doc_id "
+            f"FROM documents WHERE {md5_bucket('doc_id')} < {t}")
+    n_s = con.sql("SELECT count(*) FROM jsdoc").fetchone()[0]
+    con.sql("CREATE OR REPLACE TEMP TABLE jshs AS " + shingles.format(docs="jsdoc"))
+    def subset_completeness(sh_table):
+        return con.sql(
+            "SELECT count(*), count(*) FILTER (r.a IS NULL) FROM "
+            "(SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter "
+            f" FROM {sh_table} x JOIN {sh_table} y "
+            "   ON y.sh = x.sh AND x.doc_id < y.doc_id GROUP BY 1, 2) i "
+            "JOIN (SELECT doc_id, count(*) AS sz FROM "
+            f"      {sh_table} GROUP BY doc_id) sa ON sa.doc_id = i.a "
+            "JOIN (SELECT doc_id, count(*) AS sz FROM "
+            f"      {sh_table} GROUP BY doc_id) sb ON sb.doc_id = i.b "
+            "LEFT JOIN jrep r ON r.a = i.a AND r.b = i.b "
+            f"WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= {threshold}"
+        ).fetchone()
+
+    qual, missing = subset_completeness("jshs")
+    con.sql("CREATE OR REPLACE TEMP TABLE jbdoc AS SELECT doc_id "
+            f"FROM documents ORDER BY doc_id LIMIT {target_sample}")
+    con.sql("CREATE OR REPLACE TEMP TABLE jshb AS " + shingles.format(docs="jbdoc"))
+    qual_b, missing_b = subset_completeness("jshb")
+    if bad_shape or bad_val or missing or missing_b:
+        print(f"FAIL dd2_ngram_jaccard (jaccard-referee: shape={bad_shape} "
+              f"value={bad_val} missing-from-sample={missing}/{qual} "
+              f"missing-from-base-block={missing_b}/{qual_b})")
+        return 0, 1
+    print(f"ok   dd2_ngram_jaccard ({n_rep} rows, jaccard-referee: all sound; "
+          f"{qual} qualifying pairs over {n_s} sampled docs and {qual_b} over "
+          f"the {target_sample}-doc base block all present)")
+    return 1, 0
+
+
 def run(views, out_dir):
     """Compare every oracle in out_dir/oracle_sql.json against DuckDB views.
 
@@ -157,6 +262,13 @@ def run(views, out_dir):
     if os.environ.get("GRAFT_NEARDUP_REFEREE") and referee & set(oracles):
         oracles = {k: v for k, v in oracles.items() if k not in referee}
         ok, bad = referee_neardup(con, out_dir)
+        n_ok += ok
+        n_bad += bad
+    # GRAFT_NGRAM_REFEREE=1: same pattern for dd2, whose full shingle
+    # self-join oracle out-spills the disk past ~500k documents.
+    if os.environ.get("GRAFT_NGRAM_REFEREE") and "dd2_ngram_jaccard" in oracles:
+        oracles = {k: v for k, v in oracles.items() if k != "dd2_ngram_jaccard"}
+        ok, bad = referee_jaccard(con, out_dir)
         n_ok += ok
         n_bad += bad
     for name, sql in sorted(oracles.items()):
