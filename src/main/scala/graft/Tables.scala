@@ -23,14 +23,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark rejects natively;
-    * read nanos as long and truncate to micros (DuckDB keeps ns — harmless,
-    * since every query formats/truncates at ≥second granularity).
+  /** events.ts has shipped in two physical forms across driver corpora:
+    * TIMESTAMP(NANOS) (which Spark rejects natively — the legacy flag reads
+    * the nanos as a raw long, truncated here to micros) and plain
+    * TIMESTAMP(MICROS)/NTZ. Branch on the footer schema and normalize both
+    * to session-local TimestampType; the session runs UTC
+    * (GraftSession), so the NTZ cast is the identity wall-clock → instant
+    * mapping and both forms land on the same micros. DuckDB oracles read
+    * the file directly via CAST(ts AS TIMESTAMP) — representation-agnostic
+    * on their side, so the two engines agree either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = read(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
