@@ -210,6 +210,42 @@ object SimilarityQueries {
           .as("recall_ok"))
     },
 
+    // ── DD9: SemDeDup — cluster-then-dedup semantic near-dup pruning
+    // (graft.similarity.SemDedup; Abbas et al. 2023). k-means clusters
+    // bound the pairing: all-pairs work drops from dd5's O(n²) to O(n²/k)
+    // with k chosen in-plan from the corpus size (1-row broadcast,
+    // integer arithmetic — identical in both engines). Within-cluster
+    // pairs are an EQUI-join on cluster id (shuffle on key, AQE skew
+    // split); keep = first-wins by vec_id. Recall vs the exact pair set
+    // is the paper's accepted trade, measured in SemDedupSpec. The oracle
+    // replays centroid choice (vec_id < k), the km1 round-then-argmin
+    // assignment, and the dd5 rounded-cosine contract.
+    Q("dd9_semdedup",
+      """WITH n AS (SELECT least(64, greatest(8, count(*) // 250)) AS k FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings, n WHERE vec_id < n.k),
+        |d AS (SELECT e.vec_id, c.cid,
+        |        round(sum((CAST(e.embedding[r.range+1] AS DOUBLE) - CAST(c.ce[r.range+1] AS DOUBLE))
+        |                * (CAST(e.embedding[r.range+1] AS DOUBLE) - CAST(c.ce[r.range+1] AS DOUBLE))), 4) AS dist
+        |      FROM embeddings e, c, range(64) r GROUP BY 1, 2),
+        |rr AS (SELECT vec_id, cid,
+        |              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d),
+        |asn AS (SELECT vec_id, cid FROM rr WHERE rn = 1),
+        |x AS MATERIALIZED (
+        |  SELECT a.vec_id, a.cid, CAST(e.embedding AS DOUBLE[64]) AS v,
+        |         sqrt(array_inner_product(CAST(e.embedding AS DOUBLE[64]),
+        |                                  CAST(e.embedding AS DOUBLE[64]))) AS nrm
+        |  FROM asn a JOIN embeddings e USING (vec_id)),
+        |dup AS (SELECT DISTINCT hi.vec_id
+        |        FROM x hi JOIN x lo ON hi.cid = lo.cid AND lo.vec_id < hi.vec_id
+        |        WHERE round(array_inner_product(hi.v, lo.v) / (hi.nrm * lo.nrm), 4) >= 0.45)
+        |SELECT a.vec_id, a.cid, CAST(dup.vec_id IS NULL AS INT) AS keep
+        |FROM asn a LEFT JOIN dup ON a.vec_id = dup.vec_id
+        |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
+      graft.similarity.SemDedup.keepFlags(
+        Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45)
+        .orderBy("vec_id")
+    },
+
     // ── SIM4: per-label centroids — the IVF coarse-quantizer / k-means
     // M-step: mean vector per cluster, emitted LONG-form (label, dim, c) so
     // the compare stays scalar. Explode-to-dims + groupBy(label, dim) is
