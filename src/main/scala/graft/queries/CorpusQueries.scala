@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
@@ -344,6 +345,81 @@ object CorpusQueries {
       graft.operators.GlobalIds.withGlobalId(
           Tables.documents(s, d).select("doc_id"), "gid", col("doc_id"))
         .orderBy("doc_id")
+    },
+
+    // ── SHD1: deterministic sized-shard export layout
+    // (graft.operators.Sharding): shard = global_rank(doc_id) div 512 — the
+    // fixed-row-shard layout a training loader streams. The rank comes from
+    // GlobalIds (no single-partition sort, plan-asserted in GlobalIdsSpec);
+    // the oracle replays the naive row_number form. Emitted as per-shard
+    // stats; writeSharded (spec-gated) is the layout writer.
+    Q("shd1_sized_shards",
+      """WITH r AS (SELECT doc_id,
+        |             (row_number() OVER (ORDER BY doc_id) - 1) // 512 AS shard_id
+        |           FROM documents)
+        |SELECT shard_id, count(*) AS n_rows, min(doc_id) AS min_id,
+        |       max(doc_id) AS max_id
+        |FROM r GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, d) =>
+      graft.operators.Sharding.withShardId(
+          Tables.documents(s, d).select("doc_id"), 512, col("doc_id"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("shard_id")
+    },
+
+    // ── SRC1: JSONL ingest round-trip (graft.sources.JsonlSource): the
+    // documents table staged as line-delimited JSON plus two deliberately
+    // corrupt lines (broken syntax; type mismatch), read back with the
+    // schema ENFORCED (no inference pass — at 100 TB inference is a second
+    // full scan) and PERMISSIVE per-row quarantine. The oracle pins the
+    // valid-row aggregates to the parquet truth and the corrupt count to
+    // the injected literal 2: a reader that drops rows, mis-parses a
+    // field, or fails to quarantine flips some column → hash mismatch
+    // (the agg4 bound-flag pattern).
+    Q("src1_jsonl_roundtrip",
+      """SELECT count(*) AS n_valid, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       count(DISTINCT lang) AS n_langs, 2 AS n_corrupt
+        |FROM documents""".stripMargin) { (s, d) =>
+      val dir = stageJsonl(s, d)
+      val tagged = graft.sources.JsonlSource.readTagged(s, dir, docSchema)
+      // doc_id is the REQUIRED field: a type-mismatched line surfaces as a
+      // partial row with doc_id null (see JsonlSource.quarantined)
+      val bad = graft.sources.JsonlSource.quarantined(col("doc_id"))
+      tagged.agg(
+        count(when(!bad, lit(1))).as("n_valid"),
+        sum(when(!bad, col("n_chars"))).cast("long").as("sum_chars"),
+        countDistinct(when(!bad, col("lang"))).as("n_langs"),
+        count(when(bad, lit(1))).cast("int").as("n_corrupt"))
     }
   )
+
+  /** documents' enforced read schema (JSONL carries no footer metadata —
+    * the expected shape is part of the ingest contract).
+    */
+  private[graft] val docSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+
+  /** Stage documents as JSONL (once per dataset dir, _STAGED-guarded) and
+    * inject two corrupt lines: one syntactically broken, one with a type
+    * mismatch — the two classes PERMISSIVE must quarantine.
+    */
+  private[graft] def stageJsonl(s: SparkSession, d: String): String = {
+    val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"/root/repo/target/jsonl-stage/docs_$sf"
+    val marker = new java.io.File(dir, "_STAGED")
+    if (!marker.exists()) {
+      Tables.documents(s, d).write.mode("overwrite").json(dir)
+      import s.implicits._
+      Seq("""{"doc_id": 900000001, "text": "truncated line""",
+          """{"doc_id": "not-a-number", "text": "bad type", "lang": "en", "source": "srcX", "n_chars": 8}""")
+        .toDS().coalesce(1).write.mode("append").text(dir)
+      marker.createNewFile(): Unit
+    }
+    dir
+  }
 }

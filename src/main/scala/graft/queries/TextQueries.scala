@@ -249,6 +249,63 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ── T13: Gopher n-gram CHARACTER-coverage rules (Rae et al. 2021,
+    // table A1) — the char-weighted companions to t12's count-based rule:
+    // a doc is flagged when the single most common 2-gram covers > 20% of
+    // its characters, or characters inside duplicated 5-grams cover > 15%.
+    // Coverage = Σ count·len(gram) over the doc's chars (overlaps counted
+    // multiply — documented, deterministic); thresholds evaluate in pure
+    // INTEGER arithmetic (cov·5 > total, cov·20 > total·3) so no float
+    // ratio exists to drift between engines. One narrow generator + one
+    // doc_id-keyed agg per n (the t12 shape); docs with < 5 tokens emit no
+    // row in either engine. range(1024) is the spec-pinned corpus bound
+    // (TextDedupSpec: max tokens/doc ≤ 900 at every SF).
+    Q("t13_gopher_coverage",
+      """WITH t AS (SELECT doc_id, CAST(length(trim(text)) AS BIGINT) AS total,
+        |                  regexp_split_to_array(trim(text), '[ \t\n\f\r]+') AS toks
+        |           FROM documents),
+        |tt AS (SELECT * FROM t WHERE len(toks) >= 5),
+        |g2 AS (SELECT doc_id, total, toks[r.range+1] || ' ' || toks[r.range+2] AS g
+        |       FROM tt, range(1024) r WHERE r.range < len(toks) - 1),
+        |c2 AS (SELECT doc_id, total, g, count(*) AS c FROM g2 GROUP BY 1, 2, 3),
+        |m2 AS (SELECT doc_id, total, CAST(max(c * length(g)) AS BIGINT) AS top2_cov
+        |       FROM c2 GROUP BY 1, 2),
+        |g5 AS (SELECT doc_id, toks[r.range+1] || ' ' || toks[r.range+2] || ' ' ||
+        |              toks[r.range+3] || ' ' || toks[r.range+4] || ' ' || toks[r.range+5] AS g
+        |       FROM tt, range(1024) r WHERE r.range < len(toks) - 4),
+        |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+        |m5 AS (SELECT doc_id,
+        |              CAST(sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dup5_cov
+        |       FROM c5 GROUP BY 1)
+        |SELECT m2.doc_id, m2.total, m2.top2_cov, m5.dup5_cov,
+        |       CASE WHEN m2.top2_cov * 5 > m2.total
+        |              OR m5.dup5_cov * 20 > m2.total * 3 THEN 0 ELSE 1 END AS keep
+        |FROM m2 JOIN m5 ON m2.doc_id = m5.doc_id
+        |ORDER BY m2.doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(col("doc_id"),
+          length(trim(col("text"))).cast("long").as("total"),
+          split(trim(col("text")), "[ \\t\\n\\f\\r]+").as("t"))
+        .filter(size(col("t")) >= 5)
+      val m2 = t.select(col("doc_id"), col("total"), explode(expr(
+          "transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))")).as("g"))
+        .groupBy("doc_id", "total", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "total")
+        .agg(max(col("c") * length(col("g"))).as("top2_cov"))
+      val m5 = t.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t)-5), " +
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("c") >= 2, col("c") * length(col("g")))
+          .otherwise(lit(0L))).as("dup5_cov"))
+      m2.join(m5, "doc_id")
+        .select(col("doc_id"), col("total"), col("top2_cov"), col("dup5_cov"),
+          when(col("top2_cov") * 5 > col("total") ||
+            col("dup5_cov") * 20 > col("total") * 3, lit(0)).otherwise(lit(1))
+            .as("keep"))
+        .orderBy("doc_id")
+    },
+
     // ── T4: document fingerprint (md5 of whitespace-normalized text) ───────
     Q("t4_fingerprint",
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
