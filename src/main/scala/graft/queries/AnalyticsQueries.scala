@@ -505,6 +505,69 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
 
+    // ── DSIR1: hashed-n-gram importance weighting (Xie et al. 2023,
+    // arXiv:2302.03169 — the data-selection op of modern pretraining):
+    // score every document by how target-like its hashed bigram features
+    // are, weight = Σ count(bucket)·ln(p_target(bucket)/p_source(bucket)).
+    // Here target = the corpus's `lang = 'en'` slice, source = the whole
+    // corpus; features are bigrams hashed into 1024 buckets (the hashing
+    // trick — fixed-size LMs regardless of vocabulary) via the md5
+    // 16-bit bucket (graft.operators.Sampling, the sp1 arithmetic) mod
+    // 1024, identical in both engines. Both LMs are 1024-row tables →
+    // broadcast joins; totals are 1-row broadcasts; the corpus-side work
+    // is one narrow bigram generator + keyed aggs on (doc, bucket). Log
+    // ratios travel as INTEGER micro-units (the t11 contract) so the
+    // per-doc sum is exact. Docs with < 2 tokens emit no row.
+    Q("dsir1_importance",
+      """WITH toks AS (SELECT doc_id, lang,
+        |                regexp_split_to_array(trim(text), '[ \t\n\f\r]+') AS t
+        |              FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+        |       FROM toks WHERE len(t) >= 2),
+        |hb AS (SELECT doc_id, lang,
+        |         ((strpos('0123456789abcdef', substr(md5(b), 1, 1)) - 1) * 4096
+        |        + (strpos('0123456789abcdef', substr(md5(b), 2, 1)) - 1) * 256
+        |        + (strpos('0123456789abcdef', substr(md5(b), 3, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(md5(b), 4, 1)) - 1)) % 1024 AS k
+        |       FROM bg),
+        |src AS (SELECT k, count(*) AS cs FROM hb GROUP BY 1),
+        |tgt AS (SELECT k, count(*) AS ct FROM hb WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM hb) AS ts,
+        |               (SELECT count(*) FROM hb WHERE lang = 'en') AS tt),
+        |lr AS (SELECT src.k,
+        |         CAST(round(ln(((coalesce(tgt.ct, 0) + 1.0) / (tot.tt + 1024))
+        |                     / ((src.cs + 1.0) / (tot.ts + 1024))) * 1e6) AS BIGINT) AS lrm
+        |       FROM src LEFT JOIN tgt ON tgt.k = src.k CROSS JOIN tot),
+        |db AS (SELECT doc_id, k, count(*) AS n FROM hb GROUP BY 1, 2)
+        |SELECT db.doc_id, CAST(sum(db.n) AS BIGINT) AS n_feats,
+        |       CAST(sum(db.n * lr.lrm) AS BIGINT) AS weight_micro
+        |FROM db JOIN lr USING (k)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        split(trim(col("text")), "[ \\t\\n\\f\\r]+").as("t"))
+      val bg = toks.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(slice(t, 1, size(t)-1), (x, i) -> concat(x, ' ', t[i+1]))")).as("b"))
+      val hb = bg.select(col("doc_id"), col("lang"),
+        pmod(graft.operators.Sampling.bucket(col("b")), lit(1024)).as("k"))
+      val src = hb.groupBy("k").agg(count(lit(1)).as("cs"))
+      val tgt = hb.filter(col("lang") === "en")
+        .groupBy("k").agg(count(lit(1)).as("ct"))
+      val tot = hb.agg(count(lit(1)).as("ts"),
+        count(when(col("lang") === "en", lit(1))).as("tt"))
+      val lr = src.join(tgt, Seq("k"), "left").crossJoin(broadcast(tot))
+        .select(col("k"),
+          round(log(((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + 1024)) /
+            ((col("cs") + 1.0) / (col("ts") + 1024))) * 1e6)
+            .cast("long").as("lrm"))
+      val db = hb.groupBy("doc_id", "k").agg(count(lit(1)).as("n"))
+      db.join(broadcast(lr), "k").groupBy("doc_id")
+        .agg(sum(col("n")).cast("long").as("n_feats"),
+          sum(col("n") * col("lrm")).cast("long").as("weight_micro"))
+        .orderBy("doc_id")
+    },
+
     // ── DQ2: cross-table referential expectations — the multi-table half
     // of dq1's single-table profiling: orphan foreign keys, duplicate
     // primary keys, and a deliberately-failing check (events.user_id is a

@@ -347,6 +347,22 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // ── ORD1: deterministic epoch shuffle (graft.operators.EpochShuffle):
+    // every example gets a pseudo-random but REPRODUCIBLE position —
+    // md5(seed:doc_id) is the sort key (each seed an independent
+    // pseudo-permutation; rand() can never replay), the contiguous
+    // position comes from GlobalIds (no single-partition sort). The
+    // oracle is the naive row_number over the same seeded hash.
+    Q("ord1_epoch_shuffle",
+      """SELECT doc_id,
+        |       row_number() OVER (ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |         AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.EpochShuffle.withPosition(
+          Tables.documents(s, d).select("doc_id"), col("doc_id"), "ep0")
+        .orderBy("doc_id")
+    },
+
     // ── SHD1: deterministic sized-shard export layout
     // (graft.operators.Sharding): shard = global_rank(doc_id) div 512 — the
     // fixed-row-shard layout a training loader streams. The rank comes from
