@@ -11,6 +11,14 @@ import graft.{Q, Tables}
   * Determinism rules applied throughout (the driver hash-compares values):
   *  - every floating aggregate is `round(_, 2..4)` on BOTH sides, so
   *    summation-order ulp drift between engines cannot flip the hash;
+  *  - MONEY sums go further: at 10⁸+ rows a group's revenue reaches 10¹⁰⁺,
+  *    where the cents digit is the ~13th significant digit — inside
+  *    double-summation association error, so rounding alone can land on a
+  *    boundary where engines disagree by 0.01 (caught by j1 on a fresh sf1
+  *    corpus). All 2dp quantities (TPC-H money columns, events.value)
+  *    therefore sum as EXACT integer cents ([[cents]]/[[sumMoney]], the tq5
+  *    pattern): the sum is order-independent, and the single terminal
+  *    division is deterministic;
   *  - every result carries a total ORDER BY (ties broken by a unique key);
   *  - dates/timestamps are rendered as formatted strings at the boundary so
   *    parquet physical type differences cannot leak into the compare.
@@ -22,6 +30,18 @@ object RelationalQueries {
   import Tables._
 
   private val fmtD = "yyyy-MM-dd"
+
+  /** Exact integer cents of a 2dp money double (all corpus money columns
+    * are 2dp multiples up to representation error — round recovers them).
+    */
+  private[queries] def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * 100).cast("long")
+
+  /** Order-independent money sum: Σ exact cents, one terminal division.
+    * SQL twin: `round(sum(CAST(round(x * 100) AS BIGINT)) / 100.0, 2)`.
+    */
+  private[queries] def sumMoney(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sum(cents(c)) / 100.0, 2)
 
   def all: Seq[Q] = Seq(
     // ── A1: row count (docs/GCP_SETUP.md:362-365) ──────────────────────────
@@ -45,8 +65,8 @@ object RelationalQueries {
       """WITH mx AS (SELECT max(l_shipdate) AS m FROM lineitem)
         |SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
         |       count(*) AS n_rows,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_price
+        |       round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS sum_qty,
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_price
         |FROM lineitem, mx WHERE l_shipdate >= m - INTERVAL 7 DAY
         |GROUP BY 1 ORDER BY ship_date DESC""".stripMargin) { (s, d) =>
       val li = lineitem(s, d)
@@ -54,8 +74,8 @@ object RelationalQueries {
       li.join(broadcast(mx), col("l_shipdate") >= col("m") - expr("INTERVAL 7 DAYS"))
         .groupBy(date_format(col("l_shipdate"), fmtD).as("ship_date"))
         .agg(count(lit(1)).as("n_rows"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          sumMoney(col("l_quantity")).as("sum_qty"),
+          sumMoney(col("l_extendedprice")).as("sum_price"))
         .orderBy(col("ship_date").desc)
     },
 
@@ -106,7 +126,8 @@ object RelationalQueries {
     // ── U1: multi-source union then aggregate (main.py:471-498). Mirrors the
     // per-account fetch + concat; unionByName keeps it schema-safe.
     Q("u1_union_accounts",
-      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total FROM (
+      """SELECT event_type, count(*) AS n,
+        |       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS total FROM (
         |  SELECT * FROM events WHERE event_type = 'click'
         |  UNION ALL SELECT * FROM events WHERE event_type = 'purchase'
         |) GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
@@ -114,7 +135,7 @@ object RelationalQueries {
       ev.filter(col("event_type") === "click")
         .unionByName(ev.filter(col("event_type") === "purchase"))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total"))
         .orderBy("event_type")
     },
 
@@ -124,15 +145,15 @@ object RelationalQueries {
     // group key; pivot is a wide projection after the aggregate.
     Q("v1_pivot_events",
       """SELECT user_id,
-        |  coalesce(round(sum(CASE WHEN event_type='click'    THEN value END), 2), 0) AS click,
-        |  coalesce(round(sum(CASE WHEN event_type='error'    THEN value END), 2), 0) AS error,
-        |  coalesce(round(sum(CASE WHEN event_type='purchase' THEN value END), 2), 0) AS purchase,
-        |  coalesce(round(sum(CASE WHEN event_type='signup'   THEN value END), 2), 0) AS signup,
-        |  coalesce(round(sum(CASE WHEN event_type='view'     THEN value END), 2), 0) AS view
+        |  coalesce(round(sum(CASE WHEN event_type='click'    THEN CAST(round(value * 100) AS BIGINT) END) / 100.0, 2), 0) AS click,
+        |  coalesce(round(sum(CASE WHEN event_type='error'    THEN CAST(round(value * 100) AS BIGINT) END) / 100.0, 2), 0) AS error,
+        |  coalesce(round(sum(CASE WHEN event_type='purchase' THEN CAST(round(value * 100) AS BIGINT) END) / 100.0, 2), 0) AS purchase,
+        |  coalesce(round(sum(CASE WHEN event_type='signup'   THEN CAST(round(value * 100) AS BIGINT) END) / 100.0, 2), 0) AS signup,
+        |  coalesce(round(sum(CASE WHEN event_type='view'     THEN CAST(round(value * 100) AS BIGINT) END) / 100.0, 2), 0) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       events(s, d).groupBy("user_id")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(round(sum(col("value")), 2))
+        .agg(sumMoney(col("value")))
         .na.fill(0.0)
         .orderBy("user_id")
     },
@@ -189,7 +210,8 @@ object RelationalQueries {
 
     // ── F2: inclusive date-range filter (backfill.py:263-269) ──────────────
     Q("f2_date_range",
-      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_price
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
@@ -197,7 +219,7 @@ object RelationalQueries {
         .filter(col("l_shipdate").between(lit("1996-01-01").cast("timestamp"),
           lit("1996-12-31").cast("timestamp")))
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag")
     },
 
@@ -205,13 +227,15 @@ object RelationalQueries {
     // stays broadcastable while lineitem streams map-side (no shuffle).
     Q("j1_broadcast_join",
       """SELECT p_brand, count(*) AS n,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY p_brand""".stripMargin) { (s, d) =>
       lineitem(s, d).join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          round(sum(cents(col("l_extendedprice")) *
+            (lit(100L) - cents(col("l_discount")))) / 10000.0, 2).as("revenue"))
         .orderBy("p_brand")
     },
 
@@ -219,12 +243,12 @@ object RelationalQueries {
     // join key and let AQE pick shuffle-hash vs sort-merge (+ skew split).
     Q("j2_shuffle_join",
       """SELECT o_orderpriority, count(*) AS n,
-        |       round(sum(l_extendedprice), 2) AS sum_price
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       lineitem(s, d).join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("l_extendedprice")).as("sum_price"))
         .orderBy("o_orderpriority")
     },
 
@@ -252,7 +276,8 @@ object RelationalQueries {
     // only the lineitem⋈orders edge shuffles.
     Q("j5_star_join",
       """SELECT r_name, n_name, count(*) AS n,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -266,7 +291,8 @@ object RelationalQueries {
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          round(sum(cents(col("l_extendedprice")) *
+            (lit(100L) - cents(col("l_discount")))) / 10000.0, 2).as("revenue"))
         .orderBy("r_name", "n_name")
     },
 
@@ -277,17 +303,17 @@ object RelationalQueries {
     // ORDER BY includes `running` so even those rows order identically.
     Q("w1_window_running",
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |       round(sum(l_extendedprice) OVER (
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER (
         |         PARTITION BY l_suppkey
         |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_partkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2) AS running
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, running""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("l_suppkey")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice", "l_partkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        round(sum(col("l_extendedprice")).over(w), 2).as("running"))
+        round(sum(cents(col("l_extendedprice"))).over(w) / 100.0, 2).as("running"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running")
     },
 
@@ -335,11 +361,12 @@ object RelationalQueries {
     Q("agg2_rollup",
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |       coalesce(l_linestatus, 'ALL') AS lstatus,
-        |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |       count(*) AS n,
+        |       round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin) { (s, d) =>
       lineitem(s, d).rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
           col("n"), col("sum_qty"))
@@ -455,7 +482,8 @@ object RelationalQueries {
         |       o_orderstatus AS st,
         |       CAST(grouping(strftime(date_trunc('year', o_orderdate), '%Y')) AS INT) AS g_yr,
         |       CAST(grouping(o_orderstatus) AS INT) AS g_st,
-        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |       count(*) AS n,
+        |       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((yr), (st), ())
         |ORDER BY g_yr, g_st, yr NULLS FIRST, st NULLS FIRST""".stripMargin) { (s, d) =>
@@ -463,7 +491,8 @@ object RelationalQueries {
       s.sql(
         """SELECT yr, st,
           |       CAST(grouping(yr) AS INT) AS g_yr, CAST(grouping(st) AS INT) AS g_st,
-          |       count(*) AS n, round(sum(tp), 2) AS total
+          |       count(*) AS n,
+          |       round(sum(CAST(round(tp * 100) AS BIGINT)) / 100.0D, 2) AS total
           |FROM (SELECT date_format(o_orderdate, 'yyyy') AS yr,
           |             o_orderstatus AS st, o_totalprice AS tp FROM gs1_orders)
           |GROUP BY GROUPING SETS ((yr), (st), ())
@@ -691,13 +720,13 @@ object RelationalQueries {
     // ── J7: left outer join — every customer, matched or not ───────────────
     Q("j7_left_outer",
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |       round(coalesce(sum(o_totalprice), 0), 2) AS total
+        |       round(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) / 100.0, 2) AS total
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY c_custkey""".stripMargin) { (s, d) =>
       customer(s, d).join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("n_orders"),
-          round(coalesce(sum(col("o_totalprice")), lit(0)), 2).as("total"))
+          round(coalesce(sum(cents(col("o_totalprice"))), lit(0L)) / 100.0, 2).as("total"))
         .orderBy("c_custkey")
     },
 
@@ -842,14 +871,15 @@ object RelationalQueries {
     // UNPIVOT. 2-decimal sums round midpoint-free on both engines.
     Q("p9_unpivot",
       """SELECT l_returnflag, metric, value FROM (
-        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
-        |         round(sum(l_extendedprice), 2) AS price
+        |  SELECT l_returnflag,
+        |         round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS qty,
+        |         round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS price
         |  FROM lineitem GROUP BY 1)
         |UNPIVOT (value FOR metric IN (qty, price))
         |ORDER BY l_returnflag, metric""".stripMargin) { (s, d) =>
       lineitem(s, d).groupBy("l_returnflag")
-        .agg(round(sum(col("l_quantity")), 2).as("qty"),
-          round(sum(col("l_extendedprice")), 2).as("price"))
+        .agg(sumMoney(col("l_quantity")).as("qty"),
+          sumMoney(col("l_extendedprice")).as("price"))
         .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")),
           "metric", "value")
         .orderBy("l_returnflag", "metric")
@@ -861,16 +891,16 @@ object RelationalQueries {
     // ORDER-BY VALUE, so tie rows share one deterministic sum.
     Q("w5_range_frame",
       """SELECT o_orderkey,
-        |       round(sum(o_totalprice) OVER (
+        |       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
         |         PARTITION BY o_custkey ORDER BY o_orderdate
-        |         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+        |         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) / 100.0, 2)
         |         AS trailing30
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
         .rangeBetween(-30L * 86400, 0)
       orders(s, d).select(col("o_orderkey"),
-        round(sum(col("o_totalprice")).over(w), 2).as("trailing30"))
+        round(sum(cents(col("o_totalprice"))).over(w) / 100.0, 2).as("trailing30"))
         .orderBy("o_orderkey")
     },
 
@@ -878,7 +908,8 @@ object RelationalQueries {
     // salt spreads each hot key over `salts` reducers, and the aggregated
     // result is provably identical to the plain equi-join the oracle runs.
     Q("j9_skew_salted",
-      """SELECT c_mktsegment AS seg, count(*) AS n, round(sum(value), 2) AS total
+      """SELECT c_mktsegment AS seg, count(*) AS n,
+        |       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS total
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY seg""".stripMargin) { (s, d) =>
       val big = events(s, d).select(col("user_id"), col("value"))
@@ -886,7 +917,7 @@ object RelationalQueries {
         .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
       graft.operators.SkewJoin.saltedEquiJoin(big, small, "user_id", salts = 8)
         .groupBy(col("c_mktsegment").as("seg"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total"))
         .orderBy("seg")
     },
 
@@ -993,25 +1024,28 @@ object RelationalQueries {
     // the 10% "delta") via graft.operators.IncrementalAgg; the oracle is
     // the full recompute. Proves the partial-reaggregation math the daily
     // pipeline relies on: refresh cost O(|MV| + |delta|), never a rescan.
-    // rev rounds to 4dp, not 2: the addends are exact 4-decimal products,
-    // so day sums are 4-decimal values — at 2dp they LAND on .xx5 rounding
-    // midpoints, where the partial-vs-full association drift (~1e-7) flips
-    // pennies; at 4dp no midpoint exists and both engines agree exactly
+    // the addends are exact 4-decimal products carried as INTEGER
+    // hundredths-of-cents (the tq5/j1 contract), so partial ⊕ partial ==
+    // full recompute EXACTLY — the mergeability the incremental refresh
+    // rests on holds in integer arithmetic at any group size
     Q("mv1_incremental_rollup",
       """SELECT strftime(date_trunc('day', l_shipdate), '%Y-%m-%d') AS day,
-        |       count(*) AS n, round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+        |       count(*) AS n,
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 4) AS rev
         |FROM lineitem GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
       val li = lineitem(s, d)
         .select(date_format(date_trunc("day", col("l_shipdate")), "yyyy-MM-dd").as("day"),
           col("l_orderkey"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev0"))
+          (cents(col("l_extendedprice")) *
+            (lit(100L) - cents(col("l_discount")))).as("rev_c"))
       def partial(df: DataFrame) =
-        df.groupBy("day").agg(count(lit(1)).as("n"), sum(col("rev0")).as("rev_p"))
+        df.groupBy("day").agg(count(lit(1)).as("n"), sum(col("rev_c")).as("rev_p"))
       val history = partial(li.filter(col("l_orderkey") % 10 =!= 0))
       val delta = partial(li.filter(col("l_orderkey") % 10 === 0))
       graft.operators.IncrementalAgg
         .combine(history, delta, Seq("day"), sumCols = Seq("n", "rev_p"))
-        .select(col("day"), col("n"), round(col("rev_p"), 4).as("rev"))
+        .select(col("day"), col("n"), round(col("rev_p") / 10000.0, 4).as("rev"))
         .orderBy("day")
     },
 
@@ -1153,7 +1187,8 @@ object RelationalQueries {
     // orderkey, partial agg, TakeOrderedAndProject.
     Q("tq3_shipping_priority",
       """SELECT l.l_orderkey,
-        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue,
         |       strftime(o.o_orderdate, '%Y-%m-%d') AS odate
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1174,8 +1209,8 @@ object RelationalQueries {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), fmtD).as("odate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(round(sum(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount")))) / 10000.0, 2).as("revenue"))
         .select("l_orderkey", "revenue", "odate")
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)

@@ -211,13 +211,18 @@ object StreamingQueries {
   def all: Seq[Q] = Seq(
     Q("st1_stream_window",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
-        |       event_type, count(*) AS n, round(sum(value), 2) AS total
+        |       event_type, count(*) AS n,
+        |       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin) { (s, d) =>
       val dir = stageEvents(s, d)
       val schema = s.read.parquet(dir).schema
+      // value sums as exact integer cents (the j1/tq5 contract): streaming
+      // state then holds a LONG, and partial-merge order across
+      // micro-batches cannot drift the float sum
       val agg = s.readStream.schema(schema).parquet(dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("value") * 100).cast("long")) / 100.0, 2).as("total"))
       val res = withStatePartitions(s, dir) { drainCompleteToParquet(s, agg, "st1") }
       res
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
@@ -241,14 +246,16 @@ object StreamingQueries {
         |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
         |                               ROWS UNBOUNDED PRECEDING) AS sid FROM b)
         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |       count(*) AS n, round(sum(value), 2) AS total
+        |       count(*) AS n,
+        |       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS total
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
       val dir = stageEvents(s, d)
       val schema = s.read.parquet(dir).schema
       val agg = s.readStream.schema(schema).parquet(dir)
         .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("value") * 100).cast("long")) / 100.0, 2).as("total"))
       val res = withStatePartitions(s, dir) { drainCompleteToParquet(s, agg, "st2") }
       res
         .select(col("user_id"),
@@ -320,13 +327,15 @@ object StreamingQueries {
     // the micro-batch, zero streaming state). The oracle is the equivalent
     // batch join.
     Q("st6_stream_static_join",
-      """SELECT n.n_name, count(*) AS n, round(sum(e.value), 2) AS total
+      """SELECT n.n_name, count(*) AS n,
+        |       round(sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0, 2) AS total
         |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
         |GROUP BY 1 ORDER BY n_name""".stripMargin) { (s, d) =>
       val dir = stageEvents(s, d)
       val res = withStatePartitions(s, dir) { drainToParquet(s, st6Enriched(s, dir, d), "st6") }
       res.groupBy("n_name")
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("value") * 100).cast("long")) / 100.0, 2).as("total"))
         .orderBy("n_name")
     }
   )
