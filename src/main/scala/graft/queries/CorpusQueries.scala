@@ -282,6 +282,42 @@ object CorpusQueries {
       graft.functions.HeavyHitters.topkExactCertified(words, "w", k = 10)
     },
 
+    // ── AGG8: Count-Min sketch frequency estimation — hh1's mergeable-
+    // sketch sibling: where MG tracks only the top-k, CMS answers "how
+    // often does ANY key occur" in fixed memory (d×w counters, merge =
+    // cell-wise add — the per-day/per-shard frequency profile you union
+    // at 100 TB without re-scanning, agg7's pattern for counts). Spark's
+    // codegen'd count_min_sketch aggregate builds it in one pass; the
+    // sketch (a 1-row, ~KB binary — a bounded collect like hh1's
+    // candidate set) is probed for the exact top-10 tokens. The agg4
+    // keys-exact contract: exact counts are hash-checked by the oracle,
+    // and the one-sided CMS guarantee (est ≥ exact, est ≤ exact + ε·N at
+    // ε=0.001) travels as `bound_ok`, asserted as literal 1.
+    Q("agg8_count_min",
+      """WITH u AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+        |SELECT w, count(*) AS exact_cnt, 1 AS bound_ok FROM u GROUP BY 1
+        |ORDER BY exact_cnt DESC, w LIMIT 10""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      val top = words.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("w")).limit(10)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val row = words.agg(
+        expr("count_min_sketch(w, 0.001d, 0.99d, 42)").as("cms"),
+        count(lit(1)).as("n")).head()
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+      val n = row.getLong(1)
+      top.toSeq.map { case (w, exact) =>
+        // the SQL aggregate hashes UTF8 bytes; probe with bytes to match
+        val est = cms.estimateCount(w.getBytes("UTF-8"))
+        (w, exact,
+          if (est >= exact && est <= exact + (0.001 * n).ceil.toLong) 1 else 0)
+      }.toDF("w", "exact_cnt", "bound_ok")
+        .orderBy(col("exact_cnt").desc, col("w"))
+    },
+
     // ── RD1: PII redaction (graft.text.Redact) — emails/IPs/SSNs/phones
     // masked with typed tokens. The corpus is synthetic and clean, so the
     // query PLANTS one of each per row (derived from doc_id — both engines
