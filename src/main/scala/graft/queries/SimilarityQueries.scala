@@ -246,6 +246,51 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // ── EMB2: product quantization — the standard high-ratio vector
+    // compression for ANN at scale (Jégou et al. 2011): the 64-dim vector
+    // splits into 8 contiguous 8-dim subspaces, each encoded as the id of
+    // its nearest 4-entry sub-codebook centroid → 8 codes ≈ 2 bytes/vector
+    // (vs emb1's int8 4×). Codebooks here are the deterministic seed
+    // vectors' subvectors (vec_id < 4 — the km1 convention; a production
+    // trainer runs KMeans.fit per subspace). The corpus-side plan is one
+    // narrow 8× subspace explode + a BROADCAST codebook join + the
+    // (vec_id, sub)-keyed argmin window — codebooks are K·dim floats on
+    // every executor, the corpus never shuffles beyond the window's hash
+    // partition. Distances round to 4dp before the argmin with ties on
+    // cid (the km1 cross-engine assignment contract, per subspace).
+    Q("emb2_product_quantize",
+      """WITH s AS (SELECT CAST(range AS INT) AS sub FROM range(8)),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 4),
+        |d AS (SELECT e.vec_id, s.sub, c.cid,
+        |        round(sum((CAST(e.embedding[s.sub*8 + r.range + 1] AS DOUBLE)
+        |                 - CAST(c.ce[s.sub*8 + r.range + 1] AS DOUBLE))
+        |                * (CAST(e.embedding[s.sub*8 + r.range + 1] AS DOUBLE)
+        |                 - CAST(c.ce[s.sub*8 + r.range + 1] AS DOUBLE))), 4) AS dist
+        |      FROM embeddings e, s, c, range(8) r GROUP BY 1, 2, 3),
+        |rr AS (SELECT vec_id, sub, cid, dist,
+        |              row_number() OVER (PARTITION BY vec_id, sub
+        |                                 ORDER BY dist, cid) AS rn FROM d)
+        |SELECT vec_id, sub, cid AS code, dist FROM rr WHERE rn = 1
+        |ORDER BY vec_id, sub""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val subs = emb.select(col("vec_id"), explode(expr(
+          "transform(sequence(0, 7), i -> struct(i AS sub, slice(embedding, i*8 + 1, 8) AS sv))"))
+          .as("x"))
+        .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+      val books = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), explode(expr(
+          "transform(sequence(0, 7), i -> struct(i AS sub, slice(embedding, i*8 + 1, 8) AS cv))"))
+          .as("x"))
+        .select(col("cid"), col("x.sub").as("sub"), col("x.cv").as("cv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id", "sub").orderBy(col("dist"), col("cid"))
+      subs.join(broadcast(books), "sub")
+        .withColumn("dist", round(graft.similarity.KMeans.sqDist("sv", "cv"), 4))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cid").as("code"), col("dist"))
+        .orderBy("vec_id", "sub")
+    },
+
     // ── SIM4: per-label centroids — the IVF coarse-quantizer / k-means
     // M-step: mean vector per cluster, emitted LONG-form (label, dim, c) so
     // the compare stays scalar. Explode-to-dims + groupBy(label, dim) is
