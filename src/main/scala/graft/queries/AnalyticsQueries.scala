@@ -518,6 +518,12 @@ object AnalyticsQueries {
     // is one narrow bigram generator + keyed aggs on (doc, bucket). Log
     // ratios travel as INTEGER micro-units (the t11 contract) so the
     // per-doc sum is exact. Docs with < 2 tokens emit no row.
+    //
+    // KNOWN RISK (accepted): round(ln(ratio)*1e6) can differ by 1 between
+    // libm (DuckDB) and the JVM when ln() lands within 1 ulp of a .5e-6
+    // boundary — current corpora verify exact at every SF; if a future
+    // corpus flakes here, the fix is a shared integer rational-to-fixed-
+    // point log, not loosening the compare.
     Q("dsir1_importance",
       """WITH toks AS (SELECT doc_id, lang,
         |                regexp_split_to_array(trim(text), '[ \t\n\f\r]+') AS t
@@ -727,6 +733,145 @@ object AnalyticsQueries {
               "x -> CAST(CAST(round(CAST(x AS DOUBLE) / norm * 127) AS INT) AS STRING)), ',')"))
             .as("q8"))
         .orderBy("vec_id")
+    },
+
+    // ── BF1: Bloom-filter semi-join — the runtime-filter pattern Spark's
+    // own InjectRuntimeFilter rule uses, here as an explicit operator with
+    // a measured contract: build a 2048-bit / 3-hash Bloom filter from the
+    // FILTERED dim side (customers with c_acctbal > 7500), probe every
+    // orders row, and report probe/exact/candidate/false-positive counts
+    // plus a no-false-negatives flag the oracle asserts as literal 1.
+    // Scale shape: the build side collapses to ≤ 2048 distinct bit
+    // positions → a 1-ROW broadcast array; the probe is a narrow per-row
+    // array_contains ×3 inside codegen — the fact table NEVER shuffles
+    // (contrast j3's semi-join, which shuffles both sides). Hashes are
+    // md5-nibble arithmetic (the sp1/sp4 family), identical in both
+    // engines; every output is an exact integer.
+    Q("bf1_bloom_semijoin", {
+      def posSql(expr: String, i: Int): String = {
+        val h = s"md5('$i:' || CAST($expr AS VARCHAR))"
+        s"(((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 4096 " +
+          s"+ (strpos('0123456789abcdef', substr($h, 2, 1)) - 1) * 256 " +
+          s"+ (strpos('0123456789abcdef', substr($h, 3, 1)) - 1) * 16 " +
+          s"+ (strpos('0123456789abcdef', substr($h, 4, 1)) - 1)) % 2048)"
+      }
+      val buildPos = (0 until 3).map(posSql("k", _))
+      val probeIn = (0 until 3)
+        .map(i => s"${posSql("o.o_custkey", i)} IN (SELECT pos FROM bits)")
+        .mkString(" AND ")
+      s"""WITH b AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 7500),
+         |bits AS (SELECT DISTINCT unnest(ARRAY[${buildPos.mkString(", ")}]) AS pos FROM b),
+         |p AS (SELECT o.o_orderkey,
+         |             CAST($probeIn AS INT) AS pass,
+         |             CAST(o.o_custkey IN (SELECT k FROM b) AS INT) AS is_exact
+         |      FROM orders o)
+         |SELECT count(*) AS n_probe,
+         |       CAST(sum(is_exact) AS BIGINT) AS n_exact,
+         |       CAST(sum(pass) AS BIGINT) AS n_candidates,
+         |       CAST(sum(CASE WHEN pass = 1 AND is_exact = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+         |       CAST(sum(CASE WHEN is_exact = 1 AND pass = 0 THEN 1 ELSE 0 END) = 0 AS INT) AS no_fn
+         |FROM p""".stripMargin
+    }) { (s, d) =>
+      def pos(i: Int, key: org.apache.spark.sql.Column) =
+        (conv(substring(md5(concat(lit(s"$i:"), key.cast("string"))), 1, 4),
+          16, 10).cast("int") % 2048)
+      val build = Tables.customer(s, d).filter(col("c_acctbal") > 7500)
+        .select(col("c_custkey").as("k"))
+      // ≤ 2048 distinct bit positions → ONE row, broadcast everywhere
+      val bitsRow = build
+        .select(explode(array((0 until 3).map(i => pos(i, col("k"))): _*)).as("pos"))
+        .agg(sort_array(collect_set(col("pos"))).as("bits"))
+      val keys = build.distinct().withColumn("is_exact", lit(1))
+      Tables.orders(s, d)
+        .join(broadcast(keys), col("o_custkey") === col("k"), "left")
+        .crossJoin(broadcast(bitsRow))
+        .select(
+          (0 until 3).map(i => array_contains(col("bits"), pos(i, col("o_custkey"))))
+            .reduce(_ && _).cast("int").as("pass"),
+          coalesce(col("is_exact"), lit(0)).as("is_exact"))
+        .agg(count(lit(1)).as("n_probe"),
+          sum(col("is_exact")).cast("long").as("n_exact"),
+          sum(col("pass")).cast("long").as("n_candidates"),
+          sum(when(col("pass") === 1 && col("is_exact") === 0, 1).otherwise(0))
+            .cast("long").as("n_fp"),
+          (sum(when(col("is_exact") === 1 && col("pass") === 0, 1).otherwise(0)) === 0)
+            .cast("int").as("no_fn"))
+    },
+
+    // ── SCD1: slowly-changing-dimension type-2 history build — the CDC
+    // op downstream of m1's upsert: collapse each user's event stream to
+    // its event_type TRANSITIONS, each carrying [valid_from, valid_to)
+    // and an is_current flag (lead(ts) per user). Two windows on the SAME
+    // (user_id)(ts, event_id) ordering → ONE shuffle on the natural key,
+    // then everything is per-partition; ties on ts break on event_id so
+    // the history is a pure function of the data. since_event keeps the
+    // initiating event for lineage (and makes the output order total).
+    Q("scd1_type2_history",
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |                  lag(event_type) OVER (PARTITION BY user_id
+        |                    ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |ch AS (SELECT user_id, event_id, ts, event_type FROM e
+        |       WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type, ts AS valid_from,
+        |             lead(ts) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS valid_to,
+        |             event_id AS since_event
+        |      FROM ch)
+        |SELECT user_id, event_type, valid_from, valid_to, since_event,
+        |       CAST(valid_to IS NULL AS INT) AS is_current
+        |FROM v ORDER BY user_id, valid_from, since_event""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ch = Tables.events(s, d)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      ch.select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"),
+          col("event_id").as("since_event"))
+        .withColumn("is_current", col("valid_to").isNull.cast("int"))
+        .orderBy("user_id", "valid_from", "since_event")
+    },
+
+    // ── TS1: time-series resample + gap fill — hourly per-type event
+    // rollup on a DENSE hour grid (215 genuinely empty cells at sf0.01),
+    // empty hours carried forward with last-non-null (the standard
+    // downsample-then-ffill). The grid is dims-only (types × hours, both
+    // from 1-row/broadcast aggregates) — the fact table aggregates ONCE
+    // on (event_type, hour) with map-side partials and exact integer
+    // cents; the fill is one window per type ordered by hour. At 100 TB
+    // the grid stays tiny while the fact scan is the only heavy stage.
+    Q("ts1_resample_ffill",
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+        |                  date_trunc('hour', max(ts)) AS h1 FROM events),
+        |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+        |et AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT et.event_type, hours.hour FROM et, hours),
+        |a AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM events GROUP BY 1, 2),
+        |j AS (SELECT g.event_type, g.hour, coalesce(a.n, 0) AS n, a.cents
+        |      FROM grid g LEFT JOIN a ON a.event_type = g.event_type AND a.hour = g.hour)
+        |SELECT event_type, hour, n,
+        |       last_value(cents IGNORE NULLS) OVER (
+        |         PARTITION BY event_type ORDER BY hour
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+        |FROM j ORDER BY event_type, hour""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val b = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val hours = b.select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val grid = ev.select("event_type").distinct().crossJoin(broadcast(hours))
+      val a = ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(a, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("cents"), ignoreNulls = true).over(w).as("filled_cents"))
+        .orderBy("event_type", "hour")
     }
   )
 }

@@ -57,6 +57,52 @@ object CorpusQueries {
         .orderBy(col("doc_id"), col("tfidf").desc, col("w"))
     },
 
+    // ── T14: BM25 relevance — the other half of t7's lexical-retrieval
+    // story (and the sparse side of a hybrid RAG ranker): Okapi BM25
+    // (k1 = 1.2, b = 0.75, Lucene's non-negative idf = ln(1 + (N−df+0.5)/
+    // (df+0.5))) for a fixed 3-term query, top-20 docs. The term filter
+    // lands BEFORE the tf aggregation so the per-term work is ~|terms|
+    // rows per doc, df and the (N, avgdl) row are broadcasts, and top-20
+    // is TakeOrderedAndProject — no global sort. Per-term scores travel
+    // as INTEGER micro-units (the t11/dsir1 contract) so the per-doc Σ is
+    // exact; both engines build the identical expression tree, so every
+    // IEEE op rounds identically (ln carries the documented 1-ulp risk).
+    Q("t14_bm25",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |l AS (SELECT doc_id, len(toks) AS len FROM t),
+        |st AS (SELECT count(*) AS n, CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM l),
+        |u AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM u
+        |       WHERE w IN ('vector', 'stream', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM u
+        |       WHERE w IN ('vector', 'stream', 'merge') GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |              CAST(round(1000000 * (ln(1 + (CAST(st.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+        |                * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(l.len AS DOUBLE) / st.avgdl)))))) AS BIGINT) AS s
+        |       FROM tf JOIN df USING (w) JOIN l ON l.doc_id = tf.doc_id, st),
+        |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_micro FROM sc GROUP BY 1)
+        |SELECT doc_id, bm25_micro FROM tot
+        |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val terms = Seq("vector", "stream", "merge")
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      val l = t.select(col("doc_id"), size(col("toks")).as("len"))
+      val st = l.agg(count(lit(1)).as("n"),
+        (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"))
+      val u = t.select(col("doc_id"), explode(col("toks")).as("w"))
+        .filter(col("w").isin(terms: _*))
+      val tf = u.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfw = u.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+      val sc = tf.join(broadcast(dfw), "w").join(l, "doc_id")
+        .crossJoin(broadcast(st))
+        .select(col("doc_id"),
+          round(lit(1000000) * (log(lit(1) + (col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
+            * ((col("tf") * 2.2) / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("len").cast("double") / col("avgdl")))))))
+            .cast("long").as("s"))
+      sc.groupBy("doc_id").agg(sum(col("s")).cast("long").as("bm25_micro"))
+        .orderBy(col("bm25_micro").desc, col("doc_id")).limit(20)
+    },
+
     // ── T8: Gopher/C4-style rule filter — per-doc flags plus the combined
     // keep decision. All rules are narrow per-row maps except the
     // most-common-word fraction, which is one explode + two keyed
@@ -304,7 +350,7 @@ object CorpusQueries {
         .orderBy(col("exact_cnt").desc, col("w")).limit(10)
         .collect().map(r => (r.getString(0), r.getLong(1)))
       val row = words.agg(
-        expr("count_min_sketch(w, 0.001d, 0.99d, 42)").as("cms"),
+        expr("count_min_sketch(w, 0.001d, 0.9999d, 42)").as("cms"),
         count(lit(1)).as("n")).head()
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
@@ -459,19 +505,43 @@ object CorpusQueries {
   /** Stage documents as JSONL (once per dataset dir, _STAGED-guarded) and
     * inject two corrupt lines: one syntactically broken, one with a type
     * mismatch — the two classes PERMISSIVE must quarantine.
+    *
+    * The marker records a fingerprint of the source parquet (mtime+size of
+    * every data file): the corpus is regenerated between rounds with the
+    * same path, so a path-keyed cache alone would serve stale JSONL while
+    * the oracle reads fresh parquet. Fingerprint mismatch → re-stage.
     */
   private[graft] def stageJsonl(s: SparkSession, d: String): String = {
     val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = s"/root/repo/target/jsonl-stage/docs_$sf"
     val marker = new java.io.File(dir, "_STAGED")
-    if (!marker.exists()) {
+    val fp = sourceFingerprint(s"$d/documents.parquet")
+    val stale = !marker.exists() ||
+      scala.io.Source.fromFile(marker).mkString.trim != fp
+    if (stale) {
       Tables.documents(s, d).write.mode("overwrite").json(dir)
       import s.implicits._
       Seq("""{"doc_id": 900000001, "text": "truncated line""",
           """{"doc_id": "not-a-number", "text": "bad type", "lang": "en", "source": "srcX", "n_chars": 8}""")
         .toDS().coalesce(1).write.mode("append").text(dir)
-      marker.createNewFile(): Unit
+      val w = new java.io.PrintWriter(marker)
+      try w.print(fp) finally w.close()
     }
     dir
+  }
+
+  /** Deterministic fingerprint of a parquet file-or-directory: sorted
+    * (name, mtime, size) of every regular file, md5'd. Cheap (pure
+    * metadata, no data read) and changes whenever the driver regenerates
+    * the corpus in place.
+    */
+  private[graft] def sourceFingerprint(path: String): String = {
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(files)
+      else Seq(f)
+    val desc = files(new java.io.File(path))
+      .map(f => s"${f.getName}:${f.lastModified}:${f.length}").mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 }

@@ -216,12 +216,16 @@ object SimilarityQueries {
     // with k chosen in-plan from the corpus size (1-row broadcast,
     // integer arithmetic — identical in both engines). Within-cluster
     // pairs are an EQUI-join on cluster id (shuffle on key, AQE skew
-    // split); keep = first-wins by vec_id. Recall vs the exact pair set
-    // is the paper's accepted trade, measured in SemDedupSpec. The oracle
-    // replays centroid choice (vec_id < k), the km1 round-then-argmin
-    // assignment, and the dd5 rounded-cosine contract.
+    // split); keep = first-wins by vec_id. k = floor(sqrt(n)) in-plan —
+    // the self-balancing choice that keeps E-step (n·k·d) and pairing
+    // ((n²/k)·d) BOTH at O(n^1.5·d); IEEE sqrt is correctly rounded, so
+    // floor(sqrt(count)) is identical in both engines. Recall vs the
+    // exact pair set is the paper's accepted trade, measured in
+    // SemDedupSpec. The oracle replays centroid choice (vec_id < k), the
+    // km1 round-then-argmin assignment, and the dd5 rounded-cosine
+    // contract.
     Q("dd9_semdedup",
-      """WITH n AS (SELECT least(64, greatest(8, count(*) // 250)) AS k FROM embeddings),
+      """WITH n AS (SELECT least(4096, greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT))) AS k FROM embeddings),
         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings, n WHERE vec_id < n.k),
         |d AS (SELECT e.vec_id, c.cid,
         |        round(sum((CAST(e.embedding[r.range+1] AS DOUBLE) - CAST(c.ce[r.range+1] AS DOUBLE))
@@ -289,6 +293,71 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("vec_id"), col("sub"), col("cid").as("code"), col("dist"))
         .orderBy("vec_id", "sub")
+    },
+
+    // ── EMB3: trained product quantization + ADC query — emb2's round-10
+    // completion (graft.similarity.ProductQuantizer): one Lloyd step per
+    // subspace trains the 4-entry codebooks from the emb2 seeds (assign →
+    // 6dp-rounded means, emptied cluster keeps its seed), the corpus is
+    // encoded against the TRAINED books, and 8 query vectors (vec_id < 8)
+    // are answered by ADC: a broadcast (qid, sub, code) distance table in
+    // INTEGER 1e-4 fixed-point (exact Σ over subspaces — no float-order
+    // wobble in the ranking), one encoded-corpus scan for all queries,
+    // top-3 per query. At 100 TB the encoded corpus is 8 codes/vector and
+    // every join side except the corpus itself is broadcast. The oracle
+    // replays the full train→encode→ADC chain in long form.
+    Q("emb3_pq_adc",
+      """WITH s AS (SELECT CAST(range AS INT) AS sub FROM range(8)),
+        |dims AS (SELECT CAST(range AS INT) AS i FROM range(8)),
+        |sv AS (SELECT e.vec_id, s.sub, d.i AS dim,
+        |              CAST(e.embedding[s.sub*8 + d.i + 1] AS DOUBLE) AS x
+        |       FROM embeddings e, s, dims d),
+        |b0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cid, dim, x AS c
+        |       FROM sv WHERE vec_id < 4),
+        |d1 AS (SELECT v.vec_id, v.sub, b.cid,
+        |              round(sum((v.x - b.c) * (v.x - b.c)), 4) AS dist
+        |       FROM sv v JOIN b0 b ON b.sub = v.sub AND b.dim = v.dim
+        |       GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, sub, cid FROM (
+        |         SELECT vec_id, sub, cid, row_number() OVER (
+        |           PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |m1 AS (SELECT a.sub, a.cid, v.dim, round(avg(v.x), 6) AS c
+        |       FROM a1 a JOIN sv v ON v.vec_id = a.vec_id AND v.sub = a.sub
+        |       GROUP BY 1, 2, 3),
+        |b1 AS (SELECT b0.sub, b0.cid, b0.dim, coalesce(m1.c, b0.c) AS c
+        |       FROM b0 LEFT JOIN m1 ON m1.sub = b0.sub AND m1.cid = b0.cid
+        |                           AND m1.dim = b0.dim),
+        |d2 AS (SELECT v.vec_id, v.sub, b.cid,
+        |              round(sum((v.x - b.c) * (v.x - b.c)), 4) AS dist
+        |       FROM sv v JOIN b1 b ON b.sub = v.sub AND b.dim = v.dim
+        |       GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, cid AS code FROM (
+        |            SELECT vec_id, sub, cid, row_number() OVER (
+        |              PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d2)
+        |          WHERE rn = 1),
+        |dt AS (SELECT v.vec_id AS qid, v.sub, b.cid AS code,
+        |              CAST(round(sum((v.x - b.c) * (v.x - b.c)) * 10000) AS BIGINT) AS dfp
+        |       FROM sv v JOIN b1 b ON b.sub = v.sub AND b.dim = v.dim
+        |       WHERE v.vec_id < 8 GROUP BY 1, 2, 3),
+        |ad AS (SELECT dt.qid, c.vec_id AS nid, CAST(sum(dt.dfp) AS BIGINT) AS adist_fp
+        |       FROM codes c JOIN dt ON dt.sub = c.sub AND dt.code = c.code
+        |       GROUP BY 1, 2)
+        |SELECT qid, nid, adist_fp FROM (
+        |  SELECT qid, nid, adist_fp, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adist_fp, nid) AS rn FROM ad)
+        |WHERE rn <= 3 ORDER BY qid, adist_fp, nid""".stripMargin) { (s, d) =>
+      val pq = graft.similarity.ProductQuantizer
+      val emb = Tables.embeddings(s, d)
+      val books = pq.train(emb, "vec_id", "embedding",
+        nSub = 8, subDim = 8, k = 4, iters = 1)
+      val subs = pq.subvectors(emb, "vec_id", "embedding", nSub = 8, subDim = 8)
+      val codes = pq.encode(subs, "vec_id", books)
+        .select("vec_id", "sub", "code")
+      val qsubs = subs.filter(col("vec_id") < 8)
+        .withColumnRenamed("vec_id", "qid")
+      pq.adcTopK(codes, books, qsubs, "qid", "vec_id", k = 3)
+        .orderBy("qid", "adist_fp", "nid")
     },
 
     // ── SIM4: per-label centroids — the IVF coarse-quantizer / k-means

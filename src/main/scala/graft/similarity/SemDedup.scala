@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * against the exact pairs on the driver corpus).
   *
   * Determinism (the oracle contract): centroids are the `id < k` vectors
-  * with k from a 1-row broadcast (`least(maxK, greatest(8, n div
-  * rowsPerCluster))` — integer arithmetic, identical in both engines);
+  * with k from a 1-row broadcast (`least(maxK, greatest(8,
+  * floor(sqrt(n))))` — IEEE-754 sqrt is CORRECTLY ROUNDED, unlike ln/exp,
+  * so floor(sqrt) of an exact integer count is identical in both engines);
   * assignment reuses [[KMeans.assign]]'s round-then-argmin/tie-on-cid
   * rule; pair cosines round to 4 dp before the threshold, with the raw
   * prefilter at threshold − 1e-4 keeping `round()` off the pair loop
@@ -30,23 +31,27 @@ import org.apache.spark.sql.functions._
 object SemDedup {
 
   /** k chosen in-plan from the corpus size — a 1-row aggregate, broadcast,
-    * never a driver action. rowsPerCluster targets the per-cluster tile a
-    * task should hold; maxK caps the centroid broadcast (raise it with the
-    * cluster — k ∝ √n keeps total pair work O(n^1.5)).
+    * never a driver action. k = √n is the self-balancing choice: the
+    * E-step costs n·k·d and the within-cluster pairing costs (n²/k)·d, so
+    * k ∝ √n makes BOTH O(n^1.5·d) — a fixed k turns the pairing back into
+    * n²/k by configuration at 100× the data (the round-9 saturation).
+    * maxK only caps the centroid broadcast (maxK·d floats per executor —
+    * 4096·64·4B ≈ 1 MB) and the static `id < maxK` scan prefilter; it
+    * binds at n > 16.7M vectors per dedup scope, where you'd shard the
+    * scope (by source/language) before raising the cap.
     */
-  def chooseK(emb: DataFrame, maxK: Int, rowsPerCluster: Int): DataFrame =
+  def chooseK(emb: DataFrame, maxK: Int): DataFrame =
     emb.agg(least(lit(maxK.toLong),
-      greatest(lit(8L), expr(s"count(1) div $rowsPerCluster"))).as("k"))
+      greatest(lit(8L), floor(sqrt(count(lit(1)))))).as("k"))
 
   /** Per-vector verdict (id, cid, keep): keep = 0 iff some SAME-CLUSTER
     * vector with a smaller id is cosine-≥-threshold near it (first-wins,
     * the d1/dd1 orientation). Output is one row per input vector.
     */
   def keepFlags(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, maxK: Int = 64,
-      rowsPerCluster: Int = 250): DataFrame = {
+      threshold: Double, maxK: Int = 4096): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val kdf = chooseK(emb, maxK, rowsPerCluster)
+    val kdf = chooseK(emb, maxK)
     // id < maxK is a static scan-pruned prefilter; the runtime k (≤ maxK)
     // narrows it via the broadcast — same rows in both engines.
     val cents = emb.filter(col(idCol) < maxK)

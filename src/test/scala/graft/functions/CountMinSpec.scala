@@ -17,7 +17,7 @@ class CountMinSpec extends SparkSpec {
     val words = (Seq.fill(5000)("hot") ++ (0 until 1000).map("w" + _))
       .toDF("w").repartition(8)
     val row = words.agg(
-      expr("count_min_sketch(w, 0.001d, 0.99d, 42)").as("cms"),
+      expr("count_min_sketch(w, 0.001d, 0.9999d, 42)").as("cms"),
       count(lit(1)).as("n")).head()
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
@@ -37,7 +37,7 @@ class CountMinSpec extends SparkSpec {
     def sketch(df: org.apache.spark.sql.DataFrame) =
       org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(
-          df.agg(expr("count_min_sketch(w, 0.001d, 0.99d, 42)")).head().getAs[Array[Byte]](0)))
+          df.agg(expr("count_min_sketch(w, 0.001d, 0.9999d, 42)")).head().getAs[Array[Byte]](0)))
     val merged = sketch(a).mergeInPlace(sketch(b))
     assert(merged.estimateCount("k".getBytes("UTF-8")) >= 500L)
   }

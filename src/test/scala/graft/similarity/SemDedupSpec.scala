@@ -35,6 +35,19 @@ class SemDedupSpec extends SparkSpec {
     assert(flags.size == 130)
   }
 
+  test("k scales as floor(sqrt(n)), clamped to [8, maxK]") {
+    import spark.implicits._
+    def k(n: Int, maxK: Int = 4096) = SemDedup.chooseK(
+      (0 until n).map(i => (i.toLong, Array(0f))).toDF("vec_id", "embedding"),
+      maxK).head().getLong(0)
+    assert(k(10) == 8, "floor clamps up to 8")
+    assert(k(500) == 22) // floor(sqrt(500)) = 22
+    assert(k(10000) == 100) // perfect square, exact under IEEE sqrt
+    assert(k(10000, maxK = 64) == 64, "maxK caps the broadcast")
+    // 100× the data → 10× the k → pair work stays O(n^1.5), not n²/const
+    assert(k(1000000) == 1000)
+  }
+
   test("verdict is invariant to input partitioning") {
     val a = SemDedup.keepFlags(planted, "vec_id", "embedding", 0.9999)
       .orderBy("vec_id").collect().toSeq

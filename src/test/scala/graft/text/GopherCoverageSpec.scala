@@ -16,7 +16,8 @@ class GopherCoverageSpec extends SparkSpec {
       .withColumn("n_chars", length(col("text")))
     val q = graft.queries.TextQueries.all.find(_.name == "t13_gopher_coverage").get
     // re-point the query at an in-memory table via a temp dir write
-    val dir = java.nio.file.Files.createTempDirectory("t13spec").toString
+    val dir = graft.CacheRegistry.trackPath(
+      java.nio.file.Files.createTempDirectory("t13spec").toString)
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = q.run(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap

@@ -38,6 +38,13 @@ def main():
             "SELECT * REPLACE (make_timestamp("
             "CASE WHEN ts >= 0 THEN ts // 1000 ELSE -((-ts) // 1000) END) AS ts) "
             f"FROM \'{sf_dir}/events.parquet/*.parquet\'")
+    elif "TIMESTAMP_NS" in ts_type:
+        # a TIMESTAMP_NS physical form would pass nanosecond precision
+        # through while Tables.events truncates to micros -- normalize so
+        # every physical form converges on microsecond TIMESTAMP.
+        views["events"] = (
+            "SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) "
+            f"FROM \'{sf_dir}/events.parquet/*.parquet\'")
     run(views, out_dir)
 
 
