@@ -16,6 +16,7 @@ object GraftFunctions {
 
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "sq_dist" -> (exprs => SqDist(exprs(0), exprs(1))),
     "rolling_hash" -> (exprs => RollingHash(exprs.head)))
 
   def register(spark: SparkSession): Unit =
@@ -33,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sq_dist"),
+      new ExpressionInfo(classOf[SqDist].getName, "sq_dist"),
+      (exprs: Seq[Expression]) => SqDist(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),

