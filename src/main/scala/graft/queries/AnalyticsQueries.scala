@@ -798,6 +798,54 @@ object AnalyticsQueries {
             .cast("int").as("no_fn"))
     },
 
+    // ── DQ3: PSI distribution drift — the standard production-ML monitor
+    // (population stability index) between a slice (lang='en', the
+    // "current window") and the whole corpus (the "reference"): bucket
+    // n_chars into fixed 100-char bins (h1's data-independent binning —
+    // no quantile pass), PSI contribution = (p−q)·ln(p/q) per bin with
+    // add-one smoothing over the union bin set so empty bins are defined.
+    // Contributions travel as INTEGER micro-units (exact Σ); the final
+    // row carries total_psi_micro + the drift verdict at the industry
+    // 0.2 threshold. Two keyed aggs + 1-row broadcast totals — the corpus
+    // scans once, bins are the only shuffle key.
+    Q("dq3_psi_drift",
+      """WITH b AS (SELECT CAST(n_chars // 100 AS BIGINT) AS bucket,
+        |                  CAST(lang = 'en' AS INT) AS is_en FROM documents),
+        |cnt AS (SELECT bucket, count(*) AS nq, CAST(sum(is_en) AS BIGINT) AS np FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nq) AS DOUBLE) AS tq, CAST(sum(np) AS DOUBLE) AS tp,
+        |               count(*) AS nb FROM cnt),
+        |c AS (SELECT bucket, np, nq,
+        |             (np + 1) / (tp + nb) AS p, (nq + 1) / (tq + nb) AS q
+        |      FROM cnt, tot),
+        |psi AS (SELECT bucket, np, nq,
+        |               CAST(round(1000000 * ((p - q) * ln(p / q))) AS BIGINT) AS psi_micro
+        |        FROM c)
+        |SELECT bucket, np, nq, psi_micro,
+        |       CAST(sum(psi_micro) OVER () AS BIGINT) AS total_psi_micro,
+        |       CAST(sum(psi_micro) OVER () > 200000 AS INT) AS drifted
+        |FROM psi ORDER BY bucket""".stripMargin) { (s, d) =>
+      val b = Tables.documents(s, d).select(
+        expr("n_chars div 100").as("bucket"),
+        (col("lang") === "en").cast("int").as("is_en"))
+      val cnt = b.groupBy("bucket")
+        .agg(count(lit(1)).as("nq"), sum(col("is_en")).cast("long").as("np"))
+      val tot = cnt.agg(sum(col("nq")).cast("double").as("tq"),
+        sum(col("np")).cast("double").as("tp"), count(lit(1)).as("nb"))
+      val psi = cnt.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("np"), col("nq"),
+          round(lit(1000000) * ((((col("np") + 1) / (col("tp") + col("nb")))
+              - ((col("nq") + 1) / (col("tq") + col("nb"))))
+            * log(((col("np") + 1) / (col("tp") + col("nb")))
+              / ((col("nq") + 1) / (col("tq") + col("nb"))))))
+            .cast("long").as("psi_micro"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      psi.select(col("bucket"), col("np"), col("nq"), col("psi_micro"),
+          sum(col("psi_micro")).over(w).cast("long").as("total_psi_micro"),
+          (sum(col("psi_micro")).over(w) > 200000).cast("int").as("drifted"))
+        .orderBy("bucket")
+    },
+
     // ── SCD1: slowly-changing-dimension type-2 history build — the CDC
     // op downstream of m1's upsert: collapse each user's event stream to
     // its event_type TRANSITIONS, each carrying [valid_from, valid_to)

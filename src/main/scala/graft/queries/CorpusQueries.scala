@@ -103,6 +103,82 @@ object CorpusQueries {
         .orderBy(col("bm25_micro").desc, col("doc_id")).limit(20)
     },
 
+    // ── RRF1: reciprocal-rank fusion — the standard hybrid-retrieval
+    // combiner (Cormack et al. 2009, k=60): fuse t14's BM25 ranking with
+    // a tf-idf ranking of the SAME 3-term query; per-list contribution =
+    // 1e9 div (60 + rank) — PURE INTEGER arithmetic, so fusion carries
+    // zero float risk and the only approximate step is inside each
+    // ranking's own (already-contracted) scoring. Both rankings rank ONLY
+    // the term-matched candidate set (retrieval's candidate ≪ corpus
+    // invariant — the rank window never sees the whole corpus), share one
+    // candidate scan, and top-20 is TakeOrderedAndProject.
+    Q("rrf1_rank_fusion",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |l AS (SELECT doc_id, len(toks) AS len FROM t),
+        |st AS (SELECT count(*) AS n, CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM l),
+        |u AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM u
+        |       WHERE w IN ('vector', 'stream', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM u
+        |       WHERE w IN ('vector', 'stream', 'merge') GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |              CAST(round(1000000 * (ln(1 + (CAST(st.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+        |                * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(l.len AS DOUBLE) / st.avgdl)))))) AS BIGINT) AS s1,
+        |              CAST(round(1000000 * (tf.tf * ln(CAST(st.n AS DOUBLE) / df.df))) AS BIGINT) AS s2
+        |       FROM tf JOIN df USING (w) JOIN l ON l.doc_id = tf.doc_id, st),
+        |tot AS (SELECT doc_id, CAST(sum(s1) AS BIGINT) AS bm25, CAST(sum(s2) AS BIGINT) AS tfidf
+        |        FROM sc GROUP BY 1),
+        |t1 AS (SELECT doc_id FROM tot ORDER BY bm25 DESC, doc_id LIMIT 100),
+        |t2 AS (SELECT doc_id FROM tot ORDER BY tfidf DESC, doc_id LIMIT 100),
+        |r1 AS (SELECT t1.doc_id, row_number() OVER (ORDER BY bm25 DESC, t1.doc_id) AS r
+        |       FROM t1 JOIN tot ON tot.doc_id = t1.doc_id),
+        |r2 AS (SELECT t2.doc_id, row_number() OVER (ORDER BY tfidf DESC, t2.doc_id) AS r
+        |       FROM t2 JOIN tot ON tot.doc_id = t2.doc_id)
+        |SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+        |       CAST(coalesce(1000000000 // (60 + r1.r), 0)
+        |          + coalesce(1000000000 // (60 + r2.r), 0) AS BIGINT) AS rrf_nano
+        |FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+        |ORDER BY rrf_nano DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val terms = Seq("vector", "stream", "merge")
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      val l = t.select(col("doc_id"), size(col("toks")).as("len"))
+      val st = l.agg(count(lit(1)).as("n"),
+        (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"))
+      val u = t.select(col("doc_id"), explode(col("toks")).as("w"))
+        .filter(col("w").isin(terms: _*))
+      val tf = u.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfw = u.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+      val sc = tf.join(broadcast(dfw), "w").join(l, "doc_id")
+        .crossJoin(broadcast(st))
+        .select(col("doc_id"),
+          round(lit(1000000) * (log(lit(1) + (col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
+            * ((col("tf") * 2.2) / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("len").cast("double") / col("avgdl")))))))
+            .cast("long").as("s1"),
+          round(lit(1000000) * (col("tf") * log(col("n").cast("double") / col("df"))))
+            .cast("long").as("s2"))
+      val tot = sc.groupBy("doc_id").agg(
+        sum(col("s1")).cast("long").as("bm25"),
+        sum(col("s2")).cast("long").as("tfidf"))
+      // each list is a distributed top-100 (TakeOrderedAndProject); the
+      // rank window then runs over ≤100 rows — candidate ≪ corpus, never
+      // a corpus-wide single-partition sort
+      def ranked(score: String) = {
+        val top = tot.orderBy(col(score).desc, col("doc_id")).limit(100)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col(score).desc, col("doc_id"))
+        top.withColumn("r", row_number().over(w)).select(col("doc_id"), col("r"))
+      }
+      val r1 = ranked("bm25").withColumnRenamed("r", "r1")
+      val r2 = ranked("tfidf").withColumnRenamed("r", "r2")
+      r1.join(r2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(expr("1000000000 div (60 + r1)"), lit(0L))
+            + coalesce(expr("1000000000 div (60 + r2)"), lit(0L)))
+            .cast("long").as("rrf_nano"))
+        .orderBy(col("rrf_nano").desc, col("doc_id")).limit(20)
+    },
+
     // ── T8: Gopher/C4-style rule filter — per-doc flags plus the combined
     // keep decision. All rules are narrow per-row maps except the
     // most-common-word fraction, which is one explode + two keyed

@@ -349,6 +349,108 @@ object SimilarityQueries {
         .orderBy("qid", "adist_fp", "nid")
     },
 
+    // ── EMB4: IVF-PQ — the FAISS-style composed index (Jégou et al. 2011
+    // §IV): km1's 8-centroid coarse quantizer partitions the corpus into
+    // inverted lists; queries probe their nprobe=2 nearest lists; ADC with
+    // emb3's TRAINED codebooks runs ONLY inside probed lists. This is how
+    // a 10⁹-vector index answers without scanning: candidate work is
+    // (nprobe/k_coarse) of the corpus, the coarse assignment is the
+    // broadcast argmin-agg E-step, the probe table (nq·nprobe rows) and
+    // distance table broadcast, and the Σ over subspaces stays exact
+    // 1e-4 fixed-point. The oracle replays coarse-assign → probe →
+    // train → encode → masked ADC in one CTE chain.
+    Q("emb4_ivfpq_adc",
+      """WITH s AS (SELECT CAST(range AS INT) AS sub FROM range(8)),
+        |dims AS (SELECT CAST(range AS INT) AS i FROM range(8)),
+        |c8 AS (SELECT vec_id AS lid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        |dc AS (SELECT e.vec_id, c.lid,
+        |         round(sum((CAST(e.embedding[r.range+1] AS DOUBLE) - CAST(c.ce[r.range+1] AS DOUBLE))
+        |                 * (CAST(e.embedding[r.range+1] AS DOUBLE) - CAST(c.ce[r.range+1] AS DOUBLE))), 4) AS dist
+        |       FROM embeddings e, c8 c, range(64) r GROUP BY 1, 2),
+        |asn AS (SELECT vec_id, lid FROM (
+        |          SELECT vec_id, lid, row_number() OVER (
+        |            PARTITION BY vec_id ORDER BY dist, lid) AS rn FROM dc)
+        |        WHERE rn = 1),
+        |probe AS (SELECT vec_id AS qid, lid FROM (
+        |            SELECT vec_id, lid, row_number() OVER (
+        |              PARTITION BY vec_id ORDER BY dist, lid) AS rn FROM dc
+        |            WHERE vec_id < 8)
+        |          WHERE rn <= 2),
+        |sv AS (SELECT e.vec_id, s.sub, d.i AS dim,
+        |              CAST(e.embedding[s.sub*8 + d.i + 1] AS DOUBLE) AS x
+        |       FROM embeddings e, s, dims d),
+        |b0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cid, dim, x AS c
+        |       FROM sv WHERE vec_id < 4),
+        |d1 AS (SELECT v.vec_id, v.sub, b.cid,
+        |              round(sum((v.x - b.c) * (v.x - b.c)), 4) AS dist
+        |       FROM sv v JOIN b0 b ON b.sub = v.sub AND b.dim = v.dim
+        |       GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, sub, cid FROM (
+        |         SELECT vec_id, sub, cid, row_number() OVER (
+        |           PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |m1 AS (SELECT a.sub, a.cid, v.dim, round(avg(v.x), 6) AS c
+        |       FROM a1 a JOIN sv v ON v.vec_id = a.vec_id AND v.sub = a.sub
+        |       GROUP BY 1, 2, 3),
+        |b1 AS (SELECT b0.sub, b0.cid, b0.dim, coalesce(m1.c, b0.c) AS c
+        |       FROM b0 LEFT JOIN m1 ON m1.sub = b0.sub AND m1.cid = b0.cid
+        |                           AND m1.dim = b0.dim),
+        |d2 AS (SELECT v.vec_id, v.sub, b.cid,
+        |              round(sum((v.x - b.c) * (v.x - b.c)), 4) AS dist
+        |       FROM sv v JOIN b1 b ON b.sub = v.sub AND b.dim = v.dim
+        |       GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, cid AS code FROM (
+        |            SELECT vec_id, sub, cid, row_number() OVER (
+        |              PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d2)
+        |          WHERE rn = 1),
+        |dt AS (SELECT v.vec_id AS qid, v.sub, b.cid AS code,
+        |              CAST(round(sum((v.x - b.c) * (v.x - b.c)) * 10000) AS BIGINT) AS dfp
+        |       FROM sv v JOIN b1 b ON b.sub = v.sub AND b.dim = v.dim
+        |       WHERE v.vec_id < 8 GROUP BY 1, 2, 3),
+        |cand AS (SELECT p.qid, c.vec_id, c.sub, c.code
+        |         FROM codes c JOIN asn a ON a.vec_id = c.vec_id
+        |                      JOIN probe p ON p.lid = a.lid),
+        |ad AS (SELECT cand.qid, cand.vec_id AS nid, CAST(sum(dt.dfp) AS BIGINT) AS adist_fp
+        |       FROM cand JOIN dt ON dt.qid = cand.qid AND dt.sub = cand.sub
+        |                        AND dt.code = cand.code
+        |       GROUP BY 1, 2)
+        |SELECT qid, nid, adist_fp FROM (
+        |  SELECT qid, nid, adist_fp, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adist_fp, nid) AS rn FROM ad)
+        |WHERE rn <= 3 ORDER BY qid, adist_fp, nid""".stripMargin) { (s, d) =>
+      val pq = graft.similarity.ProductQuantizer
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val coarse = graft.similarity.KMeans.assign(emb, "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("cid").as("lid"))
+      // probe ranking is nq×8 rows — the window is trivially small
+      val pw = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      val probe = emb.filter(col("vec_id") < 8)
+        .crossJoin(broadcast(cents))
+        .withColumn("dist", round(graft.similarity.KMeans.sqDist("embedding", "cvec"), 4))
+        .withColumn("rn", row_number().over(pw)).filter(col("rn") <= 2)
+        .select(col("vec_id").as("qid"), col("cid").as("lid"))
+      val books = pq.train(emb, "vec_id", "embedding",
+        nSub = 8, subDim = 8, k = 4, iters = 1)
+      val subs = pq.subvectors(emb, "vec_id", "embedding", nSub = 8, subDim = 8)
+      val codes = pq.encode(subs, "vec_id", books).select("vec_id", "sub", "code")
+      val qsubs = subs.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "qid")
+      val dtable = qsubs.join(broadcast(books), "sub")
+        .select(col("qid"), col("sub"), col("cid").as("code"),
+          round(graft.similarity.KMeans.sqDist("sv", "cv") * 10000)
+            .cast("long").as("dfp"))
+      val cand = codes.join(coarse, "vec_id").join(broadcast(probe), "lid")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("adist_fp"), col("vec_id"))
+      cand.join(broadcast(dtable), Seq("qid", "sub", "code"))
+        .groupBy("qid", "vec_id").agg(sum(col("dfp")).as("adist_fp"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id").as("nid"), col("adist_fp"))
+        .orderBy("qid", "adist_fp", "nid")
+    },
+
     // ── SIM4: per-label centroids — the IVF coarse-quantizer / k-means
     // M-step: mean vector per cluster, emitted LONG-form (label, dim, c) so
     // the compare stays scalar. Explode-to-dims + groupBy(label, dim) is
