@@ -772,22 +772,18 @@ object AnalyticsQueries {
          |       CAST(sum(CASE WHEN is_exact = 1 AND pass = 0 THEN 1 ELSE 0 END) = 0 AS INT) AS no_fn
          |FROM p""".stripMargin
     }) { (s, d) =>
-      def pos(i: Int, key: org.apache.spark.sql.Column) =
-        (conv(substring(md5(concat(lit(s"$i:"), key.cast("string"))), 1, 4),
-          16, 10).cast("int") % 2048)
+      val bf = graft.operators.BloomFilter
       val build = Tables.customer(s, d).filter(col("c_acctbal") > 7500)
         .select(col("c_custkey").as("k"))
       // ≤ 2048 distinct bit positions → ONE row, broadcast everywhere
-      val bitsRow = build
-        .select(explode(array((0 until 3).map(i => pos(i, col("k"))): _*)).as("pos"))
-        .agg(sort_array(collect_set(col("pos"))).as("bits"))
+      val bitsRow = bf.build(build, "k")
       val keys = build.distinct().withColumn("is_exact", lit(1))
       Tables.orders(s, d)
         .join(broadcast(keys), col("o_custkey") === col("k"), "left")
         .crossJoin(broadcast(bitsRow))
         .select(
-          (0 until 3).map(i => array_contains(col("bits"), pos(i, col("o_custkey"))))
-            .reduce(_ && _).cast("int").as("pass"),
+          bf.mightContain(col("bloom_bits"), col("o_custkey"))
+            .cast("int").as("pass"),
           coalesce(col("is_exact"), lit(0)).as("is_exact"))
         .agg(count(lit(1)).as("n_probe"),
           sum(col("is_exact")).cast("long").as("n_exact"),

@@ -49,6 +49,42 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(codes(emb) == codes(emb.repartition(13)))
   }
 
+  test("IVF-PQ probe masking keeps within-list candidates only (emb4's shape)") {
+    // the emb4 composition invariant: with coarse lists = PQ clusters on
+    // the planted corpus, a query probing its own list must see only that
+    // list's members as candidates — ADC never scores an unprobed list.
+    import spark.implicits._
+    val protos = (0 until 4).map { p =>
+      Array.tabulate(64)(i => if (i % 4 == p) 10f else 0f)
+    }
+    val corpus = (0 until 40).map { id =>
+      (id.toLong, protos(id % 4).clone())
+    }.toDF("vec_id", "embedding")
+    val cents = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val coarse = KMeans.assign(corpus, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cid").as("lid"))
+    val byList = coarse.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each planted vector lands in its prototype's list
+    (0 until 40).foreach(id => assert(byList(id.toLong) == id % 4))
+    val books = ProductQuantizer.train(corpus, "vec_id", "embedding", 8, 8, 4, 1)
+    val subs = ProductQuantizer.subvectors(corpus, "vec_id", "embedding", 8, 8)
+    val codes = ProductQuantizer.encode(subs, "vec_id", books)
+      .select("vec_id", "sub", "code")
+    // probe ONLY list 2; candidates joined through the coarse assignment
+    val probe = Seq((2L, 2L)).toDF("qid", "lid")
+    val qsubs = subs.filter(col("vec_id") === 2).withColumnRenamed("vec_id", "qid")
+    val dtable = qsubs.join(broadcast(books), "sub")
+      .select(col("qid"), col("sub"), col("cid").as("code"),
+        round(KMeans.sqDist("sv", "cv") * 10000).cast("long").as("dfp"))
+    val cand = codes.join(coarse, "vec_id").join(broadcast(probe), "lid")
+    val nids = cand.join(broadcast(dtable), Seq("qid", "sub", "code"))
+      .groupBy("qid", "vec_id").agg(sum(col("dfp")).as("adist_fp"))
+      .collect().map(_.getLong(1)).toSet
+    assert(nids == (0 until 40).filter(_ % 4 == 2).map(_.toLong).toSet,
+      s"candidates leaked across lists: $nids")
+  }
+
   test("ADC ranks planted clusters correctly") {
     // 4 well-separated prototypes (one-hot blocks scaled to 10), 10 copies
     // each with deterministic +-0.01 jitter; queries = the 4 prototypes.
