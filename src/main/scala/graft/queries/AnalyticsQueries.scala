@@ -916,6 +916,81 @@ object AnalyticsQueries {
           coalesce(col("n"), lit(0L)).as("n"),
           last(col("cents"), ignoreNulls = true).over(w).as("filled_cents"))
         .orderBy("event_type", "hour")
+    },
+
+    // ── ED1: entity resolution via sorted-neighborhood blocking (Hernández
+    // & Stolfo, SIGMOD'95): rank records in total (p_name, p_partkey) order
+    // and compare each record ONLY to its next `w`=3 successors — O(n·w)
+    // candidate pairs at any corpus size, where key-equality blocking
+    // leaves n²/blocks and all-pairs is out of the question. The rank
+    // comes from GlobalIds (range repartition + O(P) prefix sum — no
+    // single-partition window over the data), the offset probe is a narrow
+    // explode of 3 longs, the pair join is an equi-join on the rank, and
+    // levenshtein runs codegen'd on candidates only. Pairs are emitted in
+    // canonical (least, greatest) key orientation; rank uniqueness makes
+    // each pair appear exactly once.
+    Q("ed1_fuzzy_neighbors",
+      """WITH r AS (SELECT p_partkey, p_name,
+        |            row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rn
+        |          FROM part),
+        |pr AS (SELECT least(x.p_partkey, y.p_partkey) AS a,
+        |              greatest(x.p_partkey, y.p_partkey) AS b,
+        |              levenshtein(x.p_name, y.p_name) AS d
+        |       FROM r x JOIN r y ON y.rn BETWEEN x.rn + 1 AND x.rn + 3)
+        |SELECT a, b, CAST(d AS BIGINT) AS d FROM pr WHERE d <= 4
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val p = Tables.part(s, dir).select("p_partkey", "p_name")
+      val r = graft.operators.GlobalIds
+        .withGlobalId(p, "rn", col("p_name"), col("p_partkey"))
+      val probes = r
+        .select(col("p_partkey").as("xk"), col("p_name").as("xn"),
+          explode(sequence(col("rn") + 1, col("rn") + 3)).as("rn"))
+      probes.join(r, "rn")
+        .select(least(col("xk"), col("p_partkey")).as("a"),
+          greatest(col("xk"), col("p_partkey")).as("b"),
+          levenshtein(col("xn"), col("p_name")).cast("long").as("d"))
+        .filter(col("d") <= 4)
+        .orderBy("a", "b")
+    },
+
+    // ── OLS1: grouped closed-form least squares (price on quantity per
+    // return flag) from the five sufficient statistics (n, Σx, Σy, Σxy,
+    // Σx²) — ONE keyed agg with map-side partials over exact integer units
+    // (quantity units / price cents), so the sums are identical at any
+    // partition count; slope/intercept are a handful of driver-free double
+    // ops on the 3-row aggregate. The 100 TB story is the whole point:
+    // regression over any corpus is a single pass + O(groups) arithmetic,
+    // never an iterative solver. Both engines run the same expression
+    // shapes on the same exact sums, so the rounded outputs match bitwise.
+    Q("ols1_group_regression",
+      """WITH s AS (SELECT l_returnflag,
+        |             count(*) AS n,
+        |             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+        |             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+        |             CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+        |             CAST(sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT l_returnflag, n, sx, sy,
+        |        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS sc
+        |      FROM s)
+        |SELECT l_returnflag, n, round(sc / 100.0, 6) AS slope,
+        |       round((CAST(sy AS DOUBLE) / 100.0 - sc / 100.0 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM t ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val qty = round(col("l_quantity")).cast("long")
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val sums = Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(qty).as("sx"), sum(cents).as("sy"),
+          sum(qty * qty).as("sxx"), sum(qty * cents).as("sxy"))
+      val d = (c: String) => col(c).cast("double")
+      val sc = (d("n") * d("sxy") - d("sx") * d("sy")) /
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+      sums.withColumn("sc", sc)
+        .select(col("l_returnflag"), col("n"),
+          round(col("sc") / 100.0, 6).as("slope"),
+          round((d("sy") / 100.0 - col("sc") / 100.0 * d("sx")) / d("n"), 6)
+            .as("intercept"))
+        .orderBy("l_returnflag")
     }
   )
 }

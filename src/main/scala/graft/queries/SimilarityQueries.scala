@@ -547,6 +547,61 @@ object SimilarityQueries {
         .select(col("n_queries"),
           when(col("hits") / (col("n_queries") * 10) >= 0.15, lit(1))
             .otherwise(lit(0)).as("recall_ok"))
+    },
+
+    // ── CM1: per-cluster simplified silhouette (Hruschka 2004 — the
+    // linear-time variant: b uses the second-nearest CENTROID, not mean
+    // pairwise distance, so the whole score is the km1 E-step shape:
+    // broadcast centroids, one codegen'd sq_dist pass, NO pairwise term).
+    // Top-2 per point comes from one hash agg collecting k=8 scalar
+    // (dist, cid) structs (partition-local after the broadcast join — the
+    // map-side combine finishes each group before the shuffle, so n
+    // 2-struct rows move, never n·k; contrast the dd9 lesson where a
+    // row_number window sorted vector payloads). Scores go to exact
+    // integer ppm per point, so cluster means are order-independent:
+    // integer sums + one terminal division, the j1 money contract.
+    Q("cm1_silhouette",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, c.cid,
+        |        round(sum((CAST(e.embedding[r.range+1] AS DOUBLE) - CAST(c.ce[r.range+1] AS DOUBLE))
+        |                * (CAST(e.embedding[r.range+1] AS DOUBLE) - CAST(c.ce[r.range+1] AS DOUBLE))), 4) AS dist
+        |      FROM embeddings e, c, range(64) r GROUP BY 1, 2),
+        |rr AS (SELECT vec_id, cid, dist,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d),
+        |p AS (SELECT vec_id,
+        |        min(CASE WHEN rn = 1 THEN cid END) AS cid,
+        |        min(CASE WHEN rn = 1 THEN dist END) AS a,
+        |        min(CASE WHEN rn = 2 THEN dist END) AS b
+        |      FROM rr WHERE rn <= 2 GROUP BY vec_id),
+        |sv AS (SELECT cid, CASE WHEN greatest(a, b) = 0 THEN 0
+        |              ELSE CAST(round((b - a) / greatest(a, b) * 1000000) AS BIGINT) END AS sppm
+        |       FROM p)
+        |SELECT cid, count(*) AS n,
+        |       round(sum(sppm) * 1.0 / (count(*) * 1000000.0), 6) AS mean_s
+        |FROM sv GROUP BY cid ORDER BY cid""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val top2 = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          round(graft.similarity.KMeans.sqDist("embedding", "cvec"), 4).as("dist"),
+          col("cid"))
+        .groupBy("vec_id")
+        .agg(slice(array_sort(collect_list(struct(col("dist"), col("cid")))), 1, 2).as("t"))
+        .select(col("t")(0).getField("cid").as("cid"),
+          col("t")(0).getField("dist").as("a"),
+          col("t")(1).getField("dist").as("b"))
+      top2
+        .select(col("cid"),
+          when(greatest(col("a"), col("b")) === 0, lit(0L))
+            .otherwise(round((col("b") - col("a")) / greatest(col("a"), col("b")) * 1000000)
+              .cast("long")).as("sppm"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), sum(col("sppm")).as("sp"))
+        .select(col("cid"), col("n"),
+          round(col("sp") * 1.0 / (col("n") * 1000000.0), 6).as("mean_s"))
+        .orderBy("cid")
     }
   )
 }

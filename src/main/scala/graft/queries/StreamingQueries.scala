@@ -51,7 +51,7 @@ object StreamingQueries {
   private def statePartitionsFor(s: SparkSession, dir: String): Int =
     sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse {
       val n = stagedRows.getOrElseUpdate(dir, s.read.parquet(dir).count())
-      autoStatePartitions(n)
+      autoStatePartitions(n, s.sparkContext.defaultParallelism)
     }
 
   /** Input rows per staged events dir — counted once (parquet metadata
@@ -66,14 +66,19 @@ object StreamingQueries {
     * commit overhead negligible) and 10M events (sf10) → 32 (st2 median
     * 15.5 → 11.4 s vs the frozen default, BENCH_SCALE.md). Power-of-two
     * rounding keeps re-checkpoint migrations between neighboring sizes
-    * predictable; the 64 cap is this harness's thread budget — on a real
-    * cluster raise it with executor count.
+    * predictable; the cap follows the session's scheduling capacity —
+    * `max(64, defaultParallelism)` — so on a 1000-core cluster a 10⁹-event
+    * fresh checkpoint sizes to the executor fleet instead of this
+    * harness's 64-thread budget (the 64 floor preserves the locally
+    * measured optima on local[32], where defaultParallelism is 32).
     */
-  private[graft] def autoStatePartitions(inputRows: Long): Int = {
+  private[graft] def autoStatePartitions(inputRows: Long,
+                                         parallelism: Int = 64): Int = {
     val raw = math.max(1L, math.ceil(inputRows / 320000.0).toLong)
     var p2 = 1L
     while (p2 < raw) p2 *= 2
-    math.min(64L, math.max(8L, p2)).toInt
+    val cap = math.max(64L, parallelism.toLong)
+    math.min(cap, math.max(8L, p2)).toInt
   }
 
   /** Run `f` (a streaming-query start + drain) with state partitioning

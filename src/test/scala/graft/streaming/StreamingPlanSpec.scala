@@ -105,6 +105,14 @@ class StreamingPlanSpec extends SparkSpec {
     assert(StreamingQueries.autoStatePartitions(1000000) == 8)     // sf1
     assert(StreamingQueries.autoStatePartitions(10000000) == 32)   // sf10
     assert(StreamingQueries.autoStatePartitions(100000000) == 64)  // capped
+    // the cap follows the session's scheduling capacity, not a constant:
+    // on a 512-way cluster the same 10^8-event checkpoint opens up to the
+    // power-of-two sizing (313 raw -> 512), and a cluster smaller than the
+    // harness keeps the 64 floor so local optima never regress
+    assert(StreamingQueries.autoStatePartitions(100000000, 512) == 512)
+    assert(StreamingQueries.autoStatePartitions(1000000000, 512) == 512)
+    assert(StreamingQueries.autoStatePartitions(100000000, 8) == 64)
+    assert(StreamingQueries.autoStatePartitions(10000000, 512) == 32)
   }
 
   test("st6 stream-static join broadcasts the dimension and keeps no state") {

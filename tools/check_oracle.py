@@ -146,7 +146,18 @@ def referee_jaccard(con, out_dir, threshold=0.8, target_sample=2000):
              ScaleData replica 0 IS the driver corpus): contains planted
              near-dup pairs at base density at EVERY scale factor, so this
              block keeps a ~constant, non-vacuous qualifying-pair count as
-             the corpus grows.
+             the corpus grows;
+         (c) an md5-bucket sample of candidate PAIRS, not docs: the full
+             shingle table is linear to build, and the pair-key bucket
+             predicate sits INSIDE the shingle self-join, so only the
+             sampled fraction of matches ever reaches aggregation state --
+             the spill that killed the full oracle scales down by the
+             sample rate while the ENUMERATION stays exhaustive. With
+             rate = target_sample/n_docs and qualifying pairs growing ~
+             linearly with n, the expected sampled-qualifying count is
+             ~constant at every scale factor (unlike (a)'s (s/n)^2 decay),
+             and coverage is unbiased over the whole corpus (unlike (b)'s
+             fixed block).
 
     Returns (n_ok, n_bad) over the one query name.
     """
@@ -206,14 +217,120 @@ def referee_jaccard(con, out_dir, threshold=0.8, target_sample=2000):
             f"FROM documents ORDER BY doc_id LIMIT {target_sample}")
     con.sql("CREATE OR REPLACE TEMP TABLE jshb AS " + shingles.format(docs="jbdoc"))
     qual_b, missing_b = subset_completeness("jshb")
-    if bad_shape or bad_val or missing or missing_b:
+    # pair-sampled completeness (c): full linear shingle table; the ordered
+    # pair-key bucket predicate filters matches inside the self-join, so
+    # aggregation state is rate * |matches| while enumeration covers every
+    # candidate pair in the corpus. The predicate is a pure function of
+    # (a, b), so a sampled pair keeps ALL its shingle matches -- its
+    # intersection count, and hence its jaccard, is exact.
+    con.sql("CREATE OR REPLACE TEMP TABLE jshf AS "
+            + shingles.format(docs="documents"))
+    con.sql("CREATE OR REPLACE TEMP TABLE jszf AS "
+            "SELECT doc_id, count(*) AS sz FROM jshf GROUP BY doc_id")
+    t_pair = min(65536, max(1, 65536 * target_sample // max(n, 1)))
+    pair_key = md5_bucket("x.doc_id || '|' || y.doc_id")
+    qual_p, missing_p = con.sql(
+        "SELECT count(*), count(*) FILTER (r.a IS NULL) FROM "
+        "(SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter "
+        " FROM jshf x JOIN jshf y ON y.sh = x.sh AND x.doc_id < y.doc_id "
+        f"   AND {pair_key} < {t_pair} GROUP BY 1, 2) i "
+        "JOIN jszf sa ON sa.doc_id = i.a JOIN jszf sb ON sb.doc_id = i.b "
+        "LEFT JOIN jrep r ON r.a = i.a AND r.b = i.b "
+        f"WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= {threshold}"
+    ).fetchone()
+    if bad_shape or bad_val or missing or missing_b or missing_p:
         print(f"FAIL dd2_ngram_jaccard (jaccard-referee: shape={bad_shape} "
               f"value={bad_val} missing-from-sample={missing}/{qual} "
-              f"missing-from-base-block={missing_b}/{qual_b})")
+              f"missing-from-base-block={missing_b}/{qual_b} "
+              f"missing-from-pair-sample={missing_p}/{qual_p})")
         return 0, 1
     print(f"ok   dd2_ngram_jaccard ({n_rep} rows, jaccard-referee: all sound; "
-          f"{qual} qualifying pairs over {n_s} sampled docs and {qual_b} over "
-          f"the {target_sample}-doc base block all present)")
+          f"{qual} qualifying pairs over {n_s} sampled docs, {qual_b} over "
+          f"the {target_sample}-doc base block, and {qual_p} over the "
+          f"{t_pair}/65536 pair sample all present)")
+    return 1, 0
+
+
+def referee_substr(con, out_dir, cap=20, block=2000):
+    """Scale-feasible exact referee for dd8 (GRAFT_SUBSTR_REFEREE=1).
+
+    dd8's full oracle self-joins the stride-4 30-char-window table and
+    DISTINCTs the pair output -- ~60 GB of spill at sf10 (BENCH_SCALE.md)
+    and disk-infeasible a decade later. The X89 referee pattern transfers,
+    with one twist the jaccard referee doesn't have: the df-cap (window
+    document-frequency <= 20) is a CORPUS-GLOBAL property, so a pair's
+    membership can't be recomputed from the pair's two documents alone,
+    and restricting the corpus only LOWERS df -- a block-local rerun would
+    admit pairs the full corpus suppresses. Both checks therefore price
+    the cap from the full corpus via one linear window scan filtered to a
+    bounded window set (state = sum of df over that set, O(result + block)
+    windows, never the all-pairs join):
+
+      1. SOUNDNESS: every reported pair must share >= 1 window whose
+         GLOBAL df <= cap. Windows are rebuilt only for involved docs;
+         their global df comes from the filtered corpus scan.
+      2. COMPLETENESS (deterministic base block): among the first `block`
+         doc_ids (ScaleData replica 0 = the driver corpus, planted-dup
+         density preserved at every SF), every pair sharing a window with
+         GLOBAL df <= cap must appear in dd8's report. Window sets are
+         doc-local, so the block's candidate pairs are exact.
+
+    Returns (n_ok, n_bad) over the one query name.
+    """
+    rep = f"{out_dir}/dd8_substring_dup/*.parquet"
+    con.sql(f"CREATE OR REPLACE TEMP TABLE srep AS SELECT * FROM '{rep}'")
+    n_rep = con.sql("SELECT count(*) FROM srep").fetchone()[0]
+    bad_shape = con.sql(
+        "SELECT count(*) FROM (SELECT a, b FROM srep WHERE a >= b "
+        "UNION ALL SELECT a, b FROM srep GROUP BY 1, 2 HAVING count(*) > 1)"
+    ).fetchone()[0]
+    # window generation for a doc subset -- mirrors the dd8 oracle exactly:
+    # stride-4 positions 1, 5, ... over docs of length >= 30, distinct per doc
+    wins = (
+        "SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 30) AS win "
+        "FROM (SELECT doc_id, text, "
+        "        unnest(range(1, CAST(length(text) AS BIGINT) - 28, 4)) AS i "
+        "      FROM documents WHERE length(text) >= 30 "
+        "        AND doc_id IN (SELECT doc_id FROM {docs}))")
+    con.sql("CREATE OR REPLACE TEMP TABLE sdocs AS "
+            "SELECT DISTINCT a AS doc_id FROM srep "
+            "UNION SELECT DISTINCT b FROM srep")
+    con.sql("CREATE OR REPLACE TEMP TABLE swin AS " + wins.format(docs="sdocs"))
+    con.sql("CREATE OR REPLACE TEMP TABLE sbdoc AS SELECT doc_id "
+            f"FROM documents ORDER BY doc_id LIMIT {block}")
+    con.sql("CREATE OR REPLACE TEMP TABLE sbwin AS " + wins.format(docs="sbdoc"))
+    # one linear corpus scan prices the global df for every window either
+    # check needs; the IN-set filter runs BEFORE the aggregate, so group
+    # state is bounded by the candidate window set, not the corpus
+    con.sql("CREATE OR REPLACE TEMP TABLE sdf AS "
+            "SELECT win, count(DISTINCT doc_id) AS df FROM "
+            "(SELECT doc_id, substr(text, CAST(i AS INTEGER), 30) AS win "
+            " FROM (SELECT doc_id, text, "
+            "         unnest(range(1, CAST(length(text) AS BIGINT) - 28, 4)) AS i "
+            "       FROM documents WHERE length(text) >= 30)) "
+            "WHERE win IN (SELECT win FROM swin UNION SELECT win FROM sbwin) "
+            "GROUP BY win")
+    bad_val = con.sql(
+        "SELECT count(*) FROM srep r LEFT JOIN "
+        "(SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+        " FROM swin x JOIN swin y ON y.win = x.win AND x.doc_id < y.doc_id "
+        f" JOIN sdf k ON k.win = x.win AND k.df <= {cap}) ok "
+        "ON ok.a = r.a AND ok.b = r.b WHERE ok.a IS NULL"
+    ).fetchone()[0]
+    qual_b, missing_b = con.sql(
+        "SELECT count(*), count(*) FILTER (r.a IS NULL) FROM "
+        "(SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+        " FROM sbwin x JOIN sbwin y ON y.win = x.win AND x.doc_id < y.doc_id "
+        f" JOIN sdf k ON k.win = x.win AND k.df <= {cap}) i "
+        "LEFT JOIN srep r ON r.a = i.a AND r.b = i.b"
+    ).fetchone()
+    if bad_shape or bad_val or missing_b:
+        print(f"FAIL dd8_substring_dup (substr-referee: shape={bad_shape} "
+              f"unsound={bad_val} missing-from-base-block={missing_b}/{qual_b})")
+        return 0, 1
+    print(f"ok   dd8_substring_dup ({n_rep} rows, substr-referee: all sound "
+          f"under the global df cap; {qual_b} qualifying pairs over the "
+          f"{block}-doc base block all present)")
     return 1, 0
 
 
@@ -269,6 +386,14 @@ def run(views, out_dir):
     if os.environ.get("GRAFT_NGRAM_REFEREE") and "dd2_ngram_jaccard" in oracles:
         oracles = {k: v for k, v in oracles.items() if k != "dd2_ngram_jaccard"}
         ok, bad = referee_jaccard(con, out_dir)
+        n_ok += ok
+        n_bad += bad
+    # GRAFT_SUBSTR_REFEREE=1: same pattern for dd8, whose window self-join
+    # + pair DISTINCT spilled ~60 GB at sf10 (df-cap priced globally -- see
+    # referee_substr).
+    if os.environ.get("GRAFT_SUBSTR_REFEREE") and "dd8_substring_dup" in oracles:
+        oracles = {k: v for k, v in oracles.items() if k != "dd8_substring_dup"}
+        ok, bad = referee_substr(con, out_dir)
         n_ok += ok
         n_bad += bad
     for name, sql in sorted(oracles.items()):
