@@ -22,9 +22,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  // ed1: GlobalIds rank + offset equi-join; cm1: integer-ppm sums through
+  // a collect_list top-2 (order inside the collected array is sorted, and
+  // the per-cluster mean is an exact integer sum); ols1: five integer
+  // sufficient statistics then double arithmetic on the 3-row aggregate
   for (name <- Seq("id1_global_ids", "w1_window_running", "sp4_weighted_sample",
                    "sp5_source_mixture", "sp3_train_val_test",
-                   "bal1_language_balance", "z1_zorder_key")) {
+                   "bal1_language_balance", "z1_zorder_key",
+                   "ed1_fuzzy_neighbors", "cm1_silhouette",
+                   "ols1_group_regression")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),
