@@ -1,0 +1,423 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Round-10 extensions: the model-adjacent operators of a training-data
+  * pipeline — per-doc information metrics (token entropy), broadcast-weight
+  * linear-model inference, behavioral Markov transition matrices,
+  * higher-moment distribution profiling, per-source corpus caps, k-NN label
+  * prediction, and a distributed power-iteration principal component.
+  *
+  * Determinism contracts (shared with t11/dsir1/ols1/km1):
+  *  - every cross-engine sum is an exact INTEGER (micro-units / fixed-point)
+  *    so partition order and engine never change a digit;
+  *  - `ln`/`sqrt` appear only on values both engines derive from the same
+  *    exact integers, through identical expression shapes (the documented
+  *    1-ulp libm risk class);
+  *  - `pow` is never used (cross-libm); x^1.5 is `sqrt(x)*x` (IEEE-exact
+  *    composition of correctly-rounded primitives).
+  *
+  * Scale design (100 TB):
+  *  - ent1/lr1 are one narrow explode + keyed aggs with map-side combine —
+  *    the corpus shuffles (doc, word)-counts, never token positions.
+  *  - mk1 is one window shuffle on user_id; the transition matrix itself is
+  *    |event_types|² rows — driver-free, broadcast-class.
+  *  - mom1 is ols1's contract: ANY polynomial moment is a single scan of
+  *    exact integer power sums + O(groups) double arithmetic.
+  *  - cap1 bounds per-group state with the TopKAggregator (O(K) per group
+  *    map-side, shuffle carries O(sources·K)) — NOT a row_number window,
+  *    which would sort every row of a hot source on one reducer.
+  *  - knn1 broadcasts the query set; the corpus streams once (sim1's plan)
+  *    and the vote table is O(queries·k).
+  *  - pca1 runs 3 fixed-point power iterations: per iteration one narrow
+  *    zip_with pass (dot products) + one posexplode keyed agg on 64 dim
+  *    keys; v moves driver→plan as a 64-long literal (km1's bounded
+  *    broadcast class). All corpus-side sums are exact integers small
+  *    enough (see pca1 scaladoc) that every integer→double conversion is
+  *    exact below ~10⁹ vectors.
+  */
+object MlQueries {
+
+  /** DuckDB twin of graft.operators.Sampling.bucket: the first 4 md5
+    * nibbles as a 16-bit integer (dsir1's arithmetic).
+    */
+  private def h16(e: String): String =
+    s"""((strpos('0123456789abcdef', substr(md5($e), 1, 1)) - 1) * 4096
+       | + (strpos('0123456789abcdef', substr(md5($e), 2, 1)) - 1) * 256
+       | + (strpos('0123456789abcdef', substr(md5($e), 3, 1)) - 1) * 16
+       | + (strpos('0123456789abcdef', substr(md5($e), 4, 1)) - 1))""".stripMargin
+
+  private val ws = "[ \\t\\n\\f\\r]+"
+  private val wsSql = """[ \t\n\f\r]+"""
+
+  // ────────────────────────────────────────────────────────────────────────
+  // PCA1 helpers: quantized power iteration.
+  //
+  // Fixed-point spec (both engines replay it bit-for-bit):
+  //   xq[j]  = round(x[j]·100)                 |xq| ≤ ~100 for unit-ish vecs
+  //   vq[j]  = round(v[j]·1e4)                 |vq| ≤ 1e4
+  //   dotq_i = Σ_j xq_ij·vq_j                  exact int, ≤ 64·100·1e4 = 6.4e7
+  //   dsq_i  = round(dotq_i / 1000.0)          ≤ 6.4e4 (correctly-rounded /)
+  //   u_j    = Σ_i xq_ij·dsq_i                 exact int, ≤ n·6.4e6 — exact
+  //                                            as a double below n ≈ 1.4e9
+  //   norm²  = Σ_j u_j²                        exact DECIMAL(38,0)/HUGEINT
+  //   v_j    = u_j / sqrt(double(norm²))       identical IEEE shape
+  //
+  // The ONLY inexact integer→double conversion is norm² (can exceed 2⁵³);
+  // both engines round-to-nearest from the same exact integer, so the
+  // double — and everything after it — is still identical.
+  // ────────────────────────────────────────────────────────────────────────
+
+  private val PcaIters = 3
+  /** v₀ = the normalized all-ones direction: vq₀[j] = round(1e4/√64). */
+  private val Vq0 = 1250L
+
+  /** One power-iteration step: given the quantized corpus (vec_id, xq) and
+    * the current quantized direction, return the 64-row (j, u) image.
+    */
+  private def pcaStep(xq: DataFrame, vq: Array[Long]): DataFrame = {
+    val vlit = vq.mkString("array(", "L,", "L)")
+    xq.withColumn("dotq",
+        expr(s"aggregate(zip_with(xq, $vlit, (a, b) -> a * b), 0L, (acc, t) -> acc + t)"))
+      .withColumn("dsq", round(col("dotq") / 1000.0).cast("long"))
+      .select(col("dsq"), posexplode(col("xq")).as(Seq("j", "x")))
+      .groupBy("j").agg(sum(col("x") * col("dsq")).as("u"))
+  }
+
+  /** Next quantized direction from the step image — rounding done in Spark
+    * SQL expressions (not driver math) so round() semantics match DuckDB's.
+    * A 64-row bounded collect (km1's class).
+    */
+  private def nextVq(u: DataFrame): Array[Long] = {
+    val n2 = u.agg(
+      sum(col("u").cast("decimal(19,0)") * col("u").cast("decimal(19,0)")).as("n2"))
+    u.crossJoin(broadcast(n2))
+      .select(col("j"),
+        round(col("u").cast("double") / sqrt(col("n2").cast("double")) * 1e4)
+          .cast("long").as("vq"))
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1))
+  }
+
+  /** Oracle twin of one pcaStep: CTEs `d$i` (dots) and `u$i` (image) from
+    * direction CTE `$vsrc(j, vq)`.
+    */
+  private def pcaStepSql(i: Int, vsrc: String): String =
+    s"""d$i AS (SELECT xq.vec_id,
+       |          CAST(round(sum(xq.x * $vsrc.vq) / 1000.0) AS BIGINT) AS dsq
+       |        FROM xq JOIN $vsrc USING (j) GROUP BY 1),
+       |u$i AS (SELECT xq.j, CAST(sum(xq.x * d$i.dsq) AS BIGINT) AS u
+       |        FROM xq JOIN d$i USING (vec_id) GROUP BY 1)""".stripMargin
+
+  private def pcaNormSql(i: Int): String =
+    s"""n$i AS (SELECT sqrt(CAST(sum(CAST(u AS HUGEINT) * u) AS DOUBLE)) AS nrm
+       |        FROM u$i),
+       |v$i AS (SELECT j, CAST(round(CAST(u AS DOUBLE) / nrm * 1e4) AS BIGINT) AS vq
+       |        FROM u$i, n$i)""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // ── ENT1: per-document token entropy (a quality/diversity signal —
+    // boilerplate and template spam have low entropy). H = ln n − (Σ c·ln c)/n
+    // carried as ent_micro = round(ln n·1e6) − (Σ c·round(ln c·1e6)) div n:
+    // the only floats are ln on exact integer counts (t11's contract); the
+    // per-doc reduction is an exact integer sum + one integer division.
+    // One narrow explode + two keyed aggs with map-side combine.
+    Q("ent1_token_entropy",
+      s"""WITH t AS (SELECT doc_id,
+         |             unnest(regexp_split_to_array(trim(text), '$wsSql')) AS w
+         |           FROM documents),
+         |wc AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+         |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |        CAST(sum(c * CAST(round(ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS slc
+         |      FROM wc GROUP BY 1)
+         |SELECT doc_id, n AS n_tokens,
+         |       CAST(round(ln(n) * 1e6) AS BIGINT) - (slc // n) AS ent_micro
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val wc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(trim(col("text")), ws)).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      wc.groupBy("doc_id")
+        .agg(sum(col("c")).cast("long").as("n"),
+          sum(col("c") * round(log(col("c").cast("double")) * 1e6).cast("long"))
+            .cast("long").as("slc"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          (round(log(col("n").cast("double")) * 1e6).cast("long") -
+            expr("slc div n")).as("ent_micro"))
+        .orderBy("doc_id")
+    },
+
+    // ── LR1: hashed-feature linear quality model, inference only — the
+    // fastText-style classifier gate of a corpus pipeline. Features are
+    // tokens hashed into 1024 buckets (dsir1's hashing trick); weights are
+    // a pure function of the bucket id (a stand-in for trained micro-unit
+    // weights — the REAL model would broadcast a 1024-row weight table, and
+    // the plan is identical). logit = Σ count(bucket)·w_micro(bucket) is an
+    // exact integer; the class decision is logit > 0 — NO sigmoid, so zero
+    // libm risk (p = σ(z) is monotone in z; thresholding z is thresholding
+    // p). One narrow explode + keyed aggs; nothing but (doc, bucket) counts
+    // ever shuffles.
+    Q("lr1_quality_logit",
+      s"""WITH t AS (SELECT doc_id,
+         |             unnest(regexp_split_to_array(trim(text), '$wsSql')) AS w
+         |           FROM documents),
+         |hb AS (SELECT doc_id, ${h16("w")} % 1024 AS k FROM t),
+         |db AS (SELECT doc_id, k, count(*) AS n FROM hb GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, k, n,
+         |         (${h16("'w:' || CAST(k AS VARCHAR)")} % 2001 - 1000) AS wm
+         |       FROM db)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |       CAST(sum(n * wm) AS BIGINT) AS logit_micro,
+         |       CAST(CASE WHEN sum(n * wm) > 0 THEN 1 ELSE 0 END AS INTEGER) AS pred_quality
+         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val hb = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(trim(col("text")), ws)).as("w"))
+        .select(col("doc_id"),
+          pmod(graft.operators.Sampling.bucket(col("w")), lit(1024)).as("k"))
+      val db = hb.groupBy("doc_id", "k").agg(count(lit(1)).as("n"))
+      val wm = (pmod(graft.operators.Sampling.bucket(
+          concat(lit("w:"), col("k").cast("string"))), lit(2001)) - 1000).cast("long")
+      db.withColumn("wm", wm)
+        .groupBy("doc_id")
+        .agg(sum(col("n")).cast("long").as("n_tokens"),
+          sum(col("n") * col("wm")).cast("long").as("logit_micro"))
+        .withColumn("pred_quality", (col("logit_micro") > 0).cast("int"))
+        .orderBy("doc_id")
+    },
+
+    // ── MK1: first-order Markov transition matrix over each user's event
+    // stream — the behavioral model behind next-event prediction and
+    // anomaly scoring. One window shuffle on user_id (w6's ordering: sec,
+    // then event_id as the total tie-break); the matrix is |types|² rows.
+    // Probabilities travel as exact integer ppm (count·1e6 div row-total).
+    Q("mk1_markov_transitions",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |                       CAST(ts AS TIMESTAMP)) AS sec
+        |           FROM events),
+        |p AS (SELECT user_id, event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |                                   ORDER BY sec, event_id) AS prev
+        |      FROM e),
+        |c AS (SELECT prev AS prev_type, event_type AS next_type,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, next_type, n,
+        |             CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS tot
+        |      FROM c)
+        |SELECT prev_type, next_type, n, (n * 1000000) // tot AS prob_ppm
+        |FROM t ORDER BY prev_type, next_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_type"))
+      val c = e.withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tw = Window.partitionBy("prev_type")
+      c.withColumn("tot", sum(col("n")).over(tw))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          expr("(n * 1000000L) div tot").as("prob_ppm"))
+        .orderBy("prev_type", "next_type")
+    },
+
+    // ── MOM1: higher-moment distribution profile (skewness + excess
+    // kurtosis) per group — ols1's one-pass sufficient-statistics contract
+    // extended to 4th-order: a single scan accumulates exact integer power
+    // sums S1..S4 (identical at any partition count), then O(groups) double
+    // arithmetic with identical expression shapes. pow() is never called:
+    // m2^1.5 is sqrt(m2)·m2 (IEEE-exact composition).
+    Q("mom1_higher_moments",
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |             CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q*q) AS BIGINT) AS s2,
+        |             CAST(sum(q*q*q) AS BIGINT) AS s3,
+        |             CAST(sum(q*q*q*q) AS BIGINT) AS s4
+        |           FROM (SELECT l_returnflag,
+        |                        CAST(round(l_quantity) AS BIGINT) AS q
+        |                 FROM lineitem)
+        |           GROUP BY 1),
+        |m AS (SELECT l_returnflag, n,
+        |        CAST(s1 AS DOUBLE) / n AS mn,
+        |        CAST(s2 AS DOUBLE) / n AS r2,
+        |        CAST(s3 AS DOUBLE) / n AS r3,
+        |        CAST(s4 AS DOUBLE) / n AS r4
+        |      FROM s),
+        |c AS (SELECT l_returnflag, n, mn,
+        |        r2 - mn*mn AS m2,
+        |        r3 - 3*mn*r2 + 2*mn*mn*mn AS m3,
+        |        r4 - 4*mn*r3 + 6*mn*mn*r2 - 3*mn*mn*mn*mn AS m4
+        |      FROM m)
+        |SELECT l_returnflag, n, round(mn, 6) AS mean_qty,
+        |       round(m3 / (sqrt(m2) * m2), 6) AS skewness,
+        |       round(m4 / (m2 * m2) - 3, 6) AS kurtosis
+        |FROM c ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val q = round(col("l_quantity")).cast("long")
+      val sums = Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(q).as("s1"), sum(q * q).as("s2"),
+          sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val mn = d(col("s1")) / col("n")
+      val r2 = d(col("s2")) / col("n")
+      val r3 = d(col("s3")) / col("n")
+      val r4 = d(col("s4")) / col("n")
+      sums.withColumn("mn", mn).withColumn("r2", r2)
+        .withColumn("r3", r3).withColumn("r4", r4)
+        .withColumn("m2", col("r2") - col("mn") * col("mn"))
+        .withColumn("m3", col("r3") - lit(3) * col("mn") * col("r2") +
+          lit(2) * col("mn") * col("mn") * col("mn"))
+        .withColumn("m4", col("r4") - lit(4) * col("mn") * col("r3") +
+          lit(6) * col("mn") * col("mn") * col("r2") -
+          lit(3) * col("mn") * col("mn") * col("mn") * col("mn"))
+        .select(col("l_returnflag"), col("n"), round(col("mn"), 6).as("mean_qty"),
+          round(col("m3") / (sqrt(col("m2")) * col("m2")), 6).as("skewness"),
+          round(col("m4") / (col("m2") * col("m2")) - 3, 6).as("kurtosis"))
+        .orderBy("l_returnflag")
+    },
+
+    // ── CAP1: per-source document cap — the domain/source frequency cap of
+    // corpus curation (keep at most K docs per source, chosen by a
+    // deterministic hash priority so the kept set is a pure function of the
+    // data). The selection is the TopKAggregator, NOT a row_number window:
+    // per-group state is O(K) map-side and the shuffle carries
+    // O(sources·K), where a window would sort every row of a hot source on
+    // one reducer — the cap1 plan survives a source with 10⁹ docs. Kept ids
+    // (bounded: sources·K) broadcast back onto the corpus for the kept-mass
+    // aggregate.
+    Q("cap1_source_cap",
+      s"""WITH p AS (SELECT source, doc_id, n_chars,
+         |             ${h16("CAST(doc_id AS VARCHAR)")} AS pri
+         |           FROM documents),
+         |r AS (SELECT source, doc_id, n_chars,
+         |             row_number() OVER (PARTITION BY source
+         |                                ORDER BY pri, doc_id) AS rn
+         |      FROM p)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN rn <= 10 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM r GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
+      val K = 10
+      val docs = Tables.documents(s, d)
+      val pri = graft.operators.Sampling.bucket(col("doc_id"))
+      // score desc / id asc picks (pri asc, doc_id asc): score = -pri.
+      val kept = docs
+        .select(col("source"), col("doc_id"), (-pri).cast("double").as("score"))
+        .groupBy("source")
+        .agg(graft.functions.TopKAggregator.topK(K)(col("score"), col("doc_id"))
+          .as("top"))
+        .select(col("source").as("ksrc"), explode(col("top.id")).as("doc_id"))
+      val keptMass = docs.join(broadcast(kept.select("doc_id")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(keptMass, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_chars"), lit(0L)).cast("long").as("kept_chars"))
+        .orderBy("source")
+    },
+
+    // ── KNN1: k-nearest-neighbor label prediction over the embeddings —
+    // the label-propagation/auto-labeling op of a curation pipeline.
+    // Neighbor set = sim1's exact rounded-cosine top-k (query set
+    // broadcast, corpus streamed once, ties on nid); prediction = majority
+    // vote with ties to the smallest label. The vote table is
+    // O(queries·k) — driver-free and broadcast-class at any corpus size.
+    Q("knn1_label_knn",
+      """WITH norms AS (
+        |  SELECT vec_id, sqrt(sum(CAST(embedding[r.range+1] AS DOUBLE)
+        |                          * CAST(embedding[r.range+1] AS DOUBLE))) AS nrm
+        |  FROM embeddings, range(64) r GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, q.label AS qlabel, e.vec_id AS nid,
+        |         e.label AS nlabel,
+        |         sum(CAST(q.embedding[r.range+1] AS DOUBLE)
+        |             * CAST(e.embedding[r.range+1] AS DOUBLE)) AS dot
+        |  FROM embeddings q, embeddings e, range(64) r
+        |  WHERE q.vec_id < 20 AND e.vec_id >= 20
+        |  GROUP BY 1, 2, 3, 4),
+        |scored AS (
+        |  SELECT qid, qlabel, nid, nlabel,
+        |         round(dot / (nq.nrm * ne.nrm), 4) AS cos_sim
+        |  FROM dots JOIN norms nq ON nq.vec_id = qid
+        |            JOIN norms ne ON ne.vec_id = nid),
+        |topk AS (
+        |  SELECT qid, qlabel, nlabel,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY cos_sim DESC, nid) AS rn
+        |  FROM scored),
+        |votes AS (
+        |  SELECT qid, qlabel, nlabel, count(*) AS nv
+        |  FROM topk WHERE rn <= 10 GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT qid, qlabel, nlabel, nv,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY nv DESC, nlabel) AS vr
+        |  FROM votes)
+        |SELECT qid, CAST(qlabel AS INTEGER) AS qlabel,
+        |       CAST(nlabel AS INTEGER) AS pred_label, CAST(nv AS BIGINT) AS n_votes,
+        |       CAST(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END AS INTEGER) AS correct
+        |FROM best WHERE vr = 1 ORDER BY qid""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val corpus = Tables.embeddings(s, d)
+      val queries = corpus.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qe"))
+      val scored = corpus.filter(col("vec_id") >= 20)
+        .crossJoin(broadcast(queries))
+        .withColumn("cos_sim", round(expr("cosine_sim(qe, embedding)"), 4))
+      val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+      val votes = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .groupBy(col("qid"), col("qlabel"), col("label").as("nlabel"))
+        .agg(count(lit(1)).as("nv"))
+      val vw = Window.partitionBy("qid").orderBy(col("nv").desc, col("nlabel"))
+      votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+        .select(col("qid"), col("qlabel"), col("nlabel").as("pred_label"),
+          col("nv").as("n_votes"),
+          (col("nlabel") === col("qlabel")).cast("int").as("correct"))
+        .orderBy("qid")
+    },
+
+    // ── PCA1: top principal direction of the embedding corpus by
+    // fixed-point power iteration — the whitening/drift-analysis primitive
+    // of an embedding pipeline, expressed so a 10⁹-vector corpus computes
+    // it in 3 scans with NO driver-side row materialization beyond the
+    // 64-long direction vector (km1's bounded-broadcast class).
+    // Determinism: see the fixed-point spec above `pcaStep` — all corpus
+    // sums are exact integers; the single >2⁵³ integer→double conversion
+    // (norm²) rounds to nearest identically in both engines.
+    Q("pca1_power_iteration",
+      s"""WITH xq AS (SELECT vec_id, CAST(r.range AS INTEGER) AS j,
+         |              CAST(round(CAST(embedding[r.range+1] AS DOUBLE) * 100) AS BIGINT) AS x
+         |            FROM embeddings, range(64) r),
+         |v0 AS (SELECT CAST(r.range AS INTEGER) AS j, CAST($Vq0 AS BIGINT) AS vq
+         |       FROM range(64) r),
+         |${pcaStepSql(1, "v0")},
+         |${pcaNormSql(1)},
+         |${pcaStepSql(2, "v1")},
+         |${pcaNormSql(2)},
+         |${pcaStepSql(3, "v2")},
+         |n3 AS (SELECT sqrt(CAST(sum(CAST(u AS HUGEINT) * u) AS DOUBLE)) AS nrm
+         |       FROM u3)
+         |SELECT j, round(CAST(u AS DOUBLE) / nrm, 6) AS v
+         |FROM u3, n3 ORDER BY j""".stripMargin) { (s, d) =>
+      val xq = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 100) AS BIGINT))")
+          .as("xq"))
+      var vq = Array.fill(64)(Vq0)
+      var u: DataFrame = null
+      for (_ <- 1 to PcaIters) {
+        u = pcaStep(xq, vq)
+        vq = nextVq(u) // dead on the last loop, but keeps the step uniform
+      }
+      val n2 = u.agg(
+        sum(col("u").cast("decimal(19,0)") * col("u").cast("decimal(19,0)")).as("n2"))
+      u.crossJoin(broadcast(n2))
+        .select(col("j"),
+          round(col("u").cast("double") / sqrt(col("n2").cast("double")), 6).as("v"))
+        .orderBy("j")
+    }
+  )
+}
