@@ -30,7 +30,14 @@ class PartitionInvarianceSpec extends SparkSpec {
                    "sp5_source_mixture", "sp3_train_val_test",
                    "bal1_language_balance", "z1_zorder_key",
                    "ed1_fuzzy_neighbors", "cm1_silhouette",
-                   "ols1_group_regression")) {
+                   "ols1_group_regression",
+                   // round-10 ML family: ent1/lr1 integer micro-unit sums,
+                   // mom1 integer power sums, mk1 windowed counts + integer
+                   // ppm, cap1 total-ordered TopKAggregator merge (pca1 has
+                   // its own invariance test in MlQueriesSpec)
+                   "ent1_token_entropy", "lr1_quality_logit",
+                   "mom1_higher_moments", "mk1_markov_transitions",
+                   "cap1_source_cap")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),

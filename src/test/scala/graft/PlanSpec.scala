@@ -255,4 +255,37 @@ class PlanSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("cap1: per-source selection is a bounded aggregate, never a window sort") {
+    // a row_number window would sort every row of a hot source on one
+    // reducer; the TopKAggregator keeps O(K) state per group map-side
+    val p = plan("cap1_source_cap")
+    assert(!p.contains("Window"), s"cap1 plans a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"no bounded aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"kept ids not broadcast back:\n$p")
+  }
+
+  test("ent1/lr1: the documents scan reads only (doc_id, text)") {
+    for (name <- Seq("ent1_token_entropy", "lr1_quality_logit")) {
+      val p = plan(name)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$name reads more than it projects:\n$p")
+    }
+  }
+
+  test("knn1: query set broadcasts; the corpus never shuffles to be scored") {
+    val p = plan("knn1_label_knn")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus shuffles against queries:\n$p")
+  }
+
+  test("pca1: a power-iteration step is generator + keyed agg — no corpus join") {
+    val p = plan("pca1_power_iteration")
+    // the direction vector rides as an array literal inside zip_with; the
+    // only join is the 1-row norm broadcast
+    assert(p.contains("Generate"), s"no posexplode generator:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), s"corpus-side join in pca1:\n$p")
+  }
 }
