@@ -418,6 +418,163 @@ object MlQueries {
         .select(col("j"),
           round(col("u").cast("double") / sqrt(col("n2").cast("double")), 6).as("v"))
         .orderBy("j")
+    },
+
+    // ── CT2: Bloom-filter benchmark decontamination — ct1's scale form.
+    // ct1 broadcasts the benchmark's DISTINCT shingle set, whose size
+    // grows with the benchmark; ct2 collapses it into a fixed-size Bloom
+    // bitset (graft.operators.BloomFilter, 65536 bits / 3 hashes — a
+    // ≤256 KB broadcast at ANY benchmark size), so the corpus probes
+    // in-codegen and NEVER joins against benchmark data. The price is
+    // false positives, and the query MEASURES it: per flagged doc,
+    // n_candidates (Bloom hits) vs n_exact (true hits, via the exact
+    // broadcast join — the referee) — no false negatives by construction
+    // (spec-gated in BloomFilterSpec).
+    Q("ct2_bloom_decontam", {
+      def posSql(i: Int): String = {
+        val h = s"md5('$i:' || sh)"
+        s"(((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 4096 " +
+          s"+ (strpos('0123456789abcdef', substr($h, 2, 1)) - 1) * 256 " +
+          s"+ (strpos('0123456789abcdef', substr($h, 3, 1)) - 1) * 16 " +
+          s"+ (strpos('0123456789abcdef', substr($h, 4, 1)) - 1)) % 65536)"
+      }
+      val probeIn = (0 until 3)
+        .map(i => s"${posSql(i)} IN (SELECT pos FROM bits)").mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         toks[r.range+1] || ' ' || toks[r.range+2] || ' ' || toks[r.range+3] AS sh
+         |       FROM t, range(1024) r WHERE r.range < len(toks) - 2),
+         |bench AS (SELECT doc_id FROM documents
+         |  WHERE ${h16("CAST(doc_id AS VARCHAR)")} < 3276),
+         |bs AS (SELECT DISTINCT sh FROM sh JOIN bench USING (doc_id)),
+         |bits AS (SELECT DISTINCT unnest(ARRAY[${(0 until 3).map(posSql).mkString(", ")}]) AS pos
+         |         FROM bs),
+         |probe AS (SELECT s.doc_id, s.sh,
+         |            CAST($probeIn AS INT) AS pass,
+         |            CAST(s.sh IN (SELECT sh FROM bs) AS INT) AS is_exact
+         |          FROM sh s
+         |          WHERE s.doc_id NOT IN (SELECT doc_id FROM bench)),
+         |agg AS (SELECT doc_id, count(*) AS n_shingles,
+         |          CAST(sum(pass) AS BIGINT) AS n_candidates,
+         |          CAST(sum(is_exact) AS BIGINT) AS n_exact
+         |        FROM probe GROUP BY 1)
+         |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_candidates, n_exact
+         |FROM agg WHERE n_candidates > 0 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val bf = graft.operators.BloomFilter
+      val sh = TextQueries.shinglesDf(s, d)
+      val bench = graft.operators.Sampling
+        .uniform(Tables.documents(s, d), col("doc_id"), 0.05)
+        .select("doc_id")
+      val bs = sh.join(bench, Seq("doc_id"), "left_semi").select("sh").distinct()
+      val bitsRow = bf.build(bs, "sh", bits = 65536, hashes = 3)
+      val exact = bs.withColumn("is_exact", lit(1))
+      sh.join(bench, Seq("doc_id"), "left_anti")
+        .crossJoin(broadcast(bitsRow))
+        .join(broadcast(exact), Seq("sh"), "left")
+        .select(col("doc_id"),
+          bf.mightContain(col("bloom_bits"), col("sh"), bits = 65536, hashes = 3)
+            .cast("int").as("pass"),
+          coalesce(col("is_exact"), lit(0)).as("is_exact"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(col("pass")).cast("long").as("n_candidates"),
+          sum(col("is_exact")).cast("long").as("n_exact"))
+        .filter(col("n_candidates") > 0)
+        .orderBy("doc_id")
+    },
+
+    // ── WP1: exact weighted percentiles — "the quantity below which half
+    // the REVENUE sits" (traffic-weighted latency percentiles are the same
+    // op). The scale contract: pre-aggregate weight per (group, value)
+    // FIRST — the cumulative window then sees |groups × distinct values|
+    // rows, not N — and keep every threshold test in exact integers
+    // (cum·2 ≥ W, cum·10 ≥ 9·W on integer cents; agg5's percentile family
+    // is unweighted and row-counted, this one is mass-weighted).
+    Q("wp1_weighted_percentile",
+      """WITH g AS (SELECT l_returnflag AS flag,
+        |             CAST(round(l_quantity) AS BIGINT) AS qty,
+        |             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+        |           FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT flag, qty, w,
+        |             CAST(sum(w) OVER (PARTITION BY flag ORDER BY qty
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |             CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS wt
+        |      FROM g)
+        |SELECT flag AS l_returnflag, min(wt) AS w_total,
+        |       min(CASE WHEN cum * 2 >= wt THEN qty END) AS p50_qty,
+        |       min(CASE WHEN cum * 10 >= wt * 9 THEN qty END) AS p90_qty
+        |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val g = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"),
+          round(col("l_quantity")).cast("long").as("qty"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("w"))
+      val cw = Window.partitionBy("flag").orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tw = Window.partitionBy("flag")
+      g.withColumn("cum", sum(col("w")).over(cw))
+        .withColumn("wt", sum(col("w")).over(tw))
+        .groupBy(col("flag").as("l_returnflag"))
+        .agg(min(col("wt")).as("w_total"),
+          min(when(col("cum") * 2 >= col("wt"), col("qty"))).as("p50_qty"),
+          min(when(col("cum") * 10 >= col("wt") * 9, col("qty"))).as("p90_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // ── EMB5: matryoshka truncation fidelity — how much of the exact
+    // 64-dim top-10 neighborhood the 16-dim PREFIX embedding recovers
+    // (Kusupati et al. 2022: MRL prefixes as cheap first-pass retrievers).
+    // Both rankings are sim1's deterministic plan (broadcast queries, one
+    // corpus stream each, rounded cosine, nid tie-break); overlap@10 is an
+    // O(queries·k) join. The 100 TB read: a 4× cheaper scan that keeps
+    // ~most of the neighborhood is the retrieval mode worth shipping —
+    // and this query is the measurement that justifies it.
+    Q("emb5_matryoshka_overlap", {
+      def rankedSql(dims: Int, cte: String): String =
+        s"""norms$cte AS (
+           |  SELECT vec_id, sqrt(sum(CAST(embedding[r.range+1] AS DOUBLE)
+           |                          * CAST(embedding[r.range+1] AS DOUBLE))) AS nrm
+           |  FROM embeddings, range($dims) r GROUP BY vec_id),
+           |dots$cte AS (
+           |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+           |         sum(CAST(q.embedding[r.range+1] AS DOUBLE)
+           |             * CAST(e.embedding[r.range+1] AS DOUBLE)) AS dot
+           |  FROM embeddings q, embeddings e, range($dims) r
+           |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+           |  GROUP BY 1, 2),
+           |top$cte AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT qid, nid,
+           |           row_number() OVER (PARTITION BY qid
+           |             ORDER BY round(dot / (nq.nrm * ne.nrm), 4) DESC, nid) AS rn
+           |    FROM dots$cte JOIN norms$cte nq ON nq.vec_id = qid
+           |                  JOIN norms$cte ne ON ne.vec_id = nid)
+           |  WHERE rn <= 10)""".stripMargin
+      s"""WITH ${rankedSql(64, "f")},
+         |${rankedSql(16, "p")}
+         |SELECT f.qid, CAST(sum(CASE WHEN p.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+         |FROM topf f LEFT JOIN topp p ON p.qid = f.qid AND p.nid = f.nid
+         |GROUP BY 1 ORDER BY f.qid""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val corpus = Tables.embeddings(s, d)
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      def topk(cosExpr: String): DataFrame = {
+        val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+        corpus.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos_sim", round(expr(cosExpr), 4))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .select(col("qid"), col("vec_id").as("nid"))
+      }
+      val full = topk("cosine_sim(qe, embedding)")
+      val pre = topk("cosine_sim(slice(qe, 1, 16), slice(embedding, 1, 16))")
+        .withColumn("m", lit(1))
+      full.join(pre, Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("m"), lit(0))).cast("long").as("n_overlap"))
+        .orderBy("qid")
     }
   )
 }

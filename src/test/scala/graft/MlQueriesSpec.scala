@@ -159,6 +159,56 @@ class MlQueriesSpec extends SparkSpec {
     assert(math.abs(nrm - 1.0) < 1e-3)
   }
 
+  // ── ct2 ─────────────────────────────────────────────────────────────────
+
+  test("ct2: Bloom candidates dominate exact hits; exact hits agree with ct1") {
+    val sf = "/root/testdata/sf0.001"
+    val ct2 = q("ct2_bloom_decontam").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // no false negatives: every true hit passes the Bloom
+    ct2.values.foreach { case (cand, exact) => assert(cand >= exact) }
+    // soundness referee: docs with n_exact > 0 are EXACTLY ct1's flagged set
+    val ct1 = graft.queries.CorpusQueries.all
+      .find(_.name == "ct1_contamination").get.run(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(ct2.filter(_._2._2 > 0).keySet == ct1)
+  }
+
+  // ── wp1 ─────────────────────────────────────────────────────────────────
+
+  test("wp1: weighted percentiles cross at the hand-computed mass thresholds") {
+    import spark.implicits._
+    val dir = tmpDir("wp1")
+    // masses 10/10/60/20 over qty 1..4 (W=100): p50 first crosses at qty 3
+    // (cum 80 ≥ 50), p90 at qty 4 (cum 80 < 90 ≤ 100)
+    Seq((1.0, 0.10), (2.0, 0.10), (3.0, 0.60), (4.0, 0.20))
+      .toDF("l_quantity", "l_extendedprice")
+      .withColumn("l_returnflag", lit("A"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = q("wp1_weighted_percentile").run(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == 100L && r.getLong(2) == 3L && r.getLong(3) == 4L)
+  }
+
+  // ── emb5 ────────────────────────────────────────────────────────────────
+
+  test("emb5: when all information lives in the 16-dim prefix, overlap@10 is 10") {
+    import spark.implicits._
+    val dir = tmpDir("emb5")
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 60).map { i =>
+      val v = Array.fill(64)(0.0f)
+      (0 until 16).foreach(j => v(j) = rnd.nextGaussian().toFloat)
+      (i.toLong, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = q("emb5_matryoshka_overlap").run(spark, dir).collect()
+    assert(out.length == 10)
+    out.foreach(r => assert(r.getLong(1) == 10L, s"qid ${r.getLong(0)}: ${r.getLong(1)}"))
+  }
+
   test("pca1: result is invariant to input partitioning (all sums exact integers)") {
     val base = q("pca1_power_iteration").run(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
