@@ -575,6 +575,167 @@ object MlQueries {
         .groupBy("qid")
         .agg(sum(coalesce(col("m"), lit(0))).cast("long").as("n_overlap"))
         .orderBy("qid")
+    },
+
+    // ── AB1: two-proportion experiment readout — the A/B significance op
+    // of product analytics. Users split into arms by md5 parity (a pure
+    // function of user_id — the assignment every engine reproduces);
+    // conversion = ≥1 high-value purchase (value > 200 — rare enough that
+    // neither arm saturates at any SF, keeping the pooled variance
+    // nonzero). The z statistic is ols1's
+    // contract: exact integer counts from ONE keyed pass, then O(1) double
+    // arithmetic with identical expression shapes; significance thresholds
+    // the ROUNDED z so both engines compare the same value. At 100 TB the
+    // entire query is one user-keyed agg + a 2-row rollup.
+    Q("ab1_proportion_ztest",
+      s"""WITH u AS (SELECT user_id,
+         |             ${h16("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |             max(CASE WHEN event_type = 'purchase' AND value > 200
+         |                      THEN 1 ELSE 0 END) AS conv
+         |           FROM events GROUP BY 1, 2),
+         |a AS (SELECT
+         |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |        CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |        CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+         |      FROM u),
+         |z AS (SELECT n_a, conv_a, n_b, conv_b,
+         |        round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         |          / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |                 * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |                 * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+         |      FROM a)
+         |SELECT n_a, conv_a, n_b, conv_b, z_score,
+         |       CAST(abs(z_score) > 1.96 AS INT) AS significant
+         |FROM z""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          pmod(graft.operators.Sampling.bucket(col("user_id")), lit(2)).as("arm"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 200, 1)
+          .otherwise(0)).as("conv"))
+      val a = u.agg(
+        sum(when(col("arm") === 0, 1).otherwise(0)).cast("long").as("n_a"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0)).cast("long").as("conv_a"),
+        sum(when(col("arm") === 1, 1).otherwise(0)).cast("long").as("n_b"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0)).cast("long").as("conv_b"))
+      val dd = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val pHat = dd(col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))
+      val z = round((dd(col("conv_a")) / col("n_a") - dd(col("conv_b")) / col("n_b")) /
+        sqrt(pHat * (lit(1) - pHat) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)
+      a.withColumn("z_score", z)
+        .withColumn("significant", (abs(col("z_score")) > 1.96).cast("int"))
+    },
+
+    // ── NDCG1: position-discounted ranking quality — nDCG@10 of the
+    // 16-dim-prefix ranking against the full-64-dim ranking as ground
+    // truth (relevance of the full rank-r neighbor = 11 − r). emb5's
+    // overlap counts set agreement; nDCG weighs WHERE in the list the
+    // agreement sits — the metric retrieval evaluation actually reports.
+    // Per-position gains travel as INTEGER micro-units
+    // (round(rel·1e6 / log2(pos+1)) — ln-shape identical both engines,
+    // t11's risk class) so the per-query Σ is exact; idcg is the same
+    // integers over the ideal positions.
+    Q("ndcg1_rank_quality", {
+      def rankedSql(dims: Int, cte: String): String =
+        s"""norms$cte AS (
+           |  SELECT vec_id, sqrt(sum(CAST(embedding[r.range+1] AS DOUBLE)
+           |                          * CAST(embedding[r.range+1] AS DOUBLE))) AS nrm
+           |  FROM embeddings, range($dims) r GROUP BY vec_id),
+           |top$cte AS (
+           |  SELECT qid, nid, rn FROM (
+           |    SELECT qid, nid,
+           |           row_number() OVER (PARTITION BY qid
+           |             ORDER BY round(dot / (nq.nrm * ne.nrm), 4) DESC, nid) AS rn
+           |    FROM (SELECT q.vec_id AS qid, e.vec_id AS nid,
+           |                 sum(CAST(q.embedding[r.range+1] AS DOUBLE)
+           |                     * CAST(e.embedding[r.range+1] AS DOUBLE)) AS dot
+           |          FROM embeddings q, embeddings e, range($dims) r
+           |          WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+           |          GROUP BY 1, 2) d
+           |    JOIN norms$cte nq ON nq.vec_id = qid
+           |    JOIN norms$cte ne ON ne.vec_id = nid)
+           |  WHERE rn <= 10)""".stripMargin
+      s"""WITH ${rankedSql(64, "f")},
+         |${rankedSql(16, "p")},
+         |gains AS (SELECT p.qid,
+         |            CAST(round((11 - f.rn) * 1e6 / (ln(p.rn + 1) / ln(2))) AS BIGINT) AS g
+         |          FROM topp p JOIN topf f ON f.qid = p.qid AND f.nid = p.nid),
+         |dcg AS (SELECT qid, CAST(sum(g) AS BIGINT) AS dcg_micro FROM gains GROUP BY 1),
+         |ideal AS (SELECT CAST(sum(CAST(round((11 - r.range) * 1e6
+         |            / (ln(r.range + 1) / ln(2))) AS BIGINT)) AS BIGINT) AS idcg_micro
+         |          FROM range(1, 11) r),
+         |qs AS (SELECT DISTINCT qid FROM topf)
+         |SELECT qs.qid, coalesce(dcg.dcg_micro, 0) AS dcg_micro,
+         |       round(CAST(coalesce(dcg.dcg_micro, 0) AS DOUBLE) / idcg_micro, 6) AS ndcg
+         |FROM qs LEFT JOIN dcg ON dcg.qid = qs.qid CROSS JOIN ideal
+         |ORDER BY qs.qid""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val corpus = Tables.embeddings(s, d)
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      def topk(cosExpr: String): DataFrame = {
+        val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+        corpus.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos_sim", round(expr(cosExpr), 4))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+          .select(col("qid"), col("vec_id").as("nid"), col("rn"))
+      }
+      val full = topk("cosine_sim(qe, embedding)")
+      val pre = topk("cosine_sim(slice(qe, 1, 16), slice(embedding, 1, 16))")
+      val gains = pre.as("p")
+        .join(full.as("f"), col("p.qid") === col("f.qid") && col("p.nid") === col("f.nid"))
+        .select(col("p.qid").as("qid"),
+          round((lit(11) - col("f.rn")) * 1e6 /
+            (log(col("p.rn") + 1) / log(lit(2.0)))).cast("long").as("g"))
+      val dcg = gains.groupBy("qid").agg(sum(col("g")).cast("long").as("dcg_micro"))
+      val idcg = (1 to 10).map(r =>
+        math.round((11 - r) * 1e6 / (math.log(r + 1) / math.log(2.0)))).sum
+      full.select("qid").distinct()
+        .join(dcg, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+          round(coalesce(col("dcg_micro"), lit(0L)).cast("double") / idcg, 6).as("ndcg"))
+        .orderBy("qid")
+    },
+
+    // ── TR1: corpus snapshot diff — the versioning op between two corpus
+    // releases (what changed since the last training run): full outer join
+    // on the key comparing content fingerprints → added / removed /
+    // changed / unchanged counts. One co-partitioned shuffle on doc_id;
+    // fingerprints are md5 so the diff never compares text bodies across
+    // the join (the 100 TB trick: ship 16-byte digests, not documents).
+    // Snapshot B is derived deterministically here (drop doc_id ≡ 0 mod 7,
+    // edit text for doc_id ≡ 0 mod 5) — in production A and B are two
+    // partition dates of the same table.
+    Q("tr1_snapshot_diff",
+      """WITH a AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |b AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 5 = 0 THEN md5(text || ' [edited]')
+        |                  ELSE md5(text) END AS fp
+        |      FROM documents WHERE doc_id % 7 <> 0),
+        |d AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |             CASE WHEN a.doc_id IS NULL THEN 'added'
+        |                  WHEN b.doc_id IS NULL THEN 'removed'
+        |                  WHEN a.fp <> b.fp THEN 'changed'
+        |                  ELSE 'unchanged' END AS status
+        |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT status, count(*) AS n_docs
+        |FROM d GROUP BY 1 ORDER BY status""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val a = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val b = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, md5(concat(col("text"), lit(" [edited]"))))
+            .otherwise(md5(col("text"))).as("fp"))
+      a.as("a").join(b.as("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+        .select(when(col("a.doc_id").isNull, "added")
+          .when(col("b.doc_id").isNull, "removed")
+          .when(col("a.fp") =!= col("b.fp"), "changed")
+          .otherwise("unchanged").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n_docs"))
+        .orderBy("status")
     }
   )
 }

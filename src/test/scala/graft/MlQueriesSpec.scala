@@ -209,6 +209,59 @@ class MlQueriesSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(1) == 10L, s"qid ${r.getLong(0)}: ${r.getLong(1)}"))
   }
 
+  // ── ab1 ─────────────────────────────────────────────────────────────────
+
+  test("ab1: arm sizes and conversions tie out; significance thresholds the rounded z") {
+    import spark.implicits._
+    val dir = tmpDir("ab1")
+    // 4 users; only user 1 converts (one purchase over the 200 threshold)
+    Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "purchase", 250.0),
+      (2L, "2024-01-01 00:01:00", 2L, "purchase", 50.0),
+      (3L, "2024-01-01 00:02:00", 3L, "view", 300.0),
+      (4L, "2024-01-01 00:03:00", 4L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = q("ab1_proportion_ztest").run(spark, dir).collect()(0)
+    val (nA, cA, nB, cB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nA + nB == 4 && cA + cB == 1)
+    assert(r.getInt(5) == (if (math.abs(r.getDouble(4)) > 1.96) 1 else 0))
+  }
+
+  // ── ndcg1 ───────────────────────────────────────────────────────────────
+
+  test("ndcg1: identical rankings score a perfect 1.0") {
+    import spark.implicits._
+    val dir = tmpDir("ndcg1")
+    val rnd = new scala.util.Random(31)
+    // all information in the prefix → prefix ranking == full ranking
+    val rows = (0 until 60).map { i =>
+      val v = Array.fill(64)(0.0f)
+      (0 until 16).foreach(j => v(j) = rnd.nextGaussian().toFloat)
+      (i.toLong, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = q("ndcg1_rank_quality").run(spark, dir).collect()
+    assert(out.length == 10)
+    out.foreach(r => assert(r.getDouble(2) == 1.0,
+      s"qid ${r.getLong(0)}: ndcg ${r.getDouble(2)}"))
+  }
+
+  // ── tr1 ─────────────────────────────────────────────────────────────────
+
+  test("tr1: diff counts match the hand-derived snapshot rules") {
+    val dir = tmpDir("tr1")
+    // ids 1..10: B drops multiples of 7 (→ 7 removed), edits multiples of
+    // 5 (→ 5, 10 changed); the other 7 are unchanged; B ⊆ A ⇒ no 'added'
+    writeDocs(dir, (1L to 10L).map(i => (i, s"doc body $i")))
+    val out = q("tr1_snapshot_diff").run(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("removed" -> 1L, "changed" -> 2L, "unchanged" -> 7L))
+  }
+
   test("pca1: result is invariant to input partitioning (all sums exact integers)") {
     val base = q("pca1_power_iteration").run(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
