@@ -421,23 +421,26 @@ object MlQueries {
     },
 
     // ── CT2: Bloom-filter benchmark decontamination — ct1's scale form.
-    // ct1 broadcasts the benchmark's DISTINCT shingle set, whose size
-    // grows with the benchmark; ct2 collapses it into a fixed-size Bloom
-    // bitset (graft.operators.BloomFilter, 65536 bits / 3 hashes — a
-    // ≤256 KB broadcast at ANY benchmark size), so the corpus probes
-    // in-codegen and NEVER joins against benchmark data. The price is
-    // false positives, and the query MEASURES it: per flagged doc,
-    // n_candidates (Bloom hits) vs n_exact (true hits, via the exact
-    // broadcast join — the referee) — no false negatives by construction
-    // (spec-gated in BloomFilterSpec).
+    // ct1 broadcasts the benchmark's DISTINCT shingle set, whose broadcast
+    // carries full shingle STRINGS; ct2 collapses it into a Bloom position
+    // set — 4-byte ints, ~10× smaller, probed in-codegen — so the corpus
+    // never joins against benchmark text. The filter SIZES ITSELF IN-PLAN:
+    // bits = 16 × |benchmark shingles| (a 1-row broadcast count — the dd9
+    // k∝√n lesson: a fixed-size filter saturates one decade up; 16
+    // bits/key with 3 hashes holds FP ≈ 0.5% at ANY benchmark size).
+    // Positions come from 8 md5 nibbles (32-bit range, uniform for any
+    // bits ≤ 2³²) — the 4-nibble/fixed-2048 form stays in
+    // graft.operators.BloomFilter for bf1. The FP price is MEASURED: per
+    // flagged doc, n_candidates (Bloom hits) vs n_exact (true hits via the
+    // exact broadcast referee); no false negatives by construction.
     Q("ct2_bloom_decontam", {
-      def posSql(i: Int): String = {
+      def h32sql(i: Int): String = {
         val h = s"md5('$i:' || sh)"
-        s"(((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 4096 " +
-          s"+ (strpos('0123456789abcdef', substr($h, 2, 1)) - 1) * 256 " +
-          s"+ (strpos('0123456789abcdef', substr($h, 3, 1)) - 1) * 16 " +
-          s"+ (strpos('0123456789abcdef', substr($h, 4, 1)) - 1)) % 65536)"
+        (1 to 8).map(n =>
+          s"(strpos('0123456789abcdef', substr($h, $n, 1)) - 1) * ${1L << (4 * (8 - n))}")
+          .mkString("(", " + ", ")")
       }
+      def posSql(i: Int): String = s"(${h32sql(i)} % (SELECT m FROM nb))"
       val probeIn = (0 until 3)
         .map(i => s"${posSql(i)} IN (SELECT pos FROM bits)").mkString(" AND ")
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
@@ -447,6 +450,7 @@ object MlQueries {
          |bench AS (SELECT doc_id FROM documents
          |  WHERE ${h16("CAST(doc_id AS VARCHAR)")} < 3276),
          |bs AS (SELECT DISTINCT sh FROM sh JOIN bench USING (doc_id)),
+         |nb AS (SELECT count(*) * 16 AS m FROM bs),
          |bits AS (SELECT DISTINCT unnest(ARRAY[${(0 until 3).map(posSql).mkString(", ")}]) AS pos
          |         FROM bs),
          |probe AS (SELECT s.doc_id, s.sh,
@@ -461,20 +465,30 @@ object MlQueries {
          |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_candidates, n_exact
          |FROM agg WHERE n_candidates > 0 ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      val bf = graft.operators.BloomFilter
       val sh = TextQueries.shinglesDf(s, d)
       val bench = graft.operators.Sampling
         .uniform(Tables.documents(s, d), col("doc_id"), 0.05)
         .select("doc_id")
       val bs = sh.join(bench, Seq("doc_id"), "left_semi").select("sh").distinct()
-      val bitsRow = bf.build(bs, "sh", bits = 65536, hashes = 3)
+      def pos(i: Int, m: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat(lit(s"$i:"), col("sh"))), 1, 8), 16, 10)
+          .cast("long"), m)
+      // the same 1-row count feeds build and probe; two aggregates with
+      // distinct names keep attribute ids unambiguous when both land in
+      // one plan tree (bitsRow is a subtree of the probe)
+      val nbBuild = bs.agg((count(lit(1)) * 16).as("m_build"))
+      val nbProbe = bs.agg((count(lit(1)) * 16).as("m_probe"))
+      val bitsRow = bs.crossJoin(broadcast(nbBuild))
+        .select(explode(array((0 until 3).map(pos(_, col("m_build"))): _*)).as("pos"))
+        .agg(sort_array(collect_set(col("pos"))).as("bloom_bits"))
       val exact = bs.withColumn("is_exact", lit(1))
       sh.join(bench, Seq("doc_id"), "left_anti")
-        .crossJoin(broadcast(bitsRow))
+        .crossJoin(broadcast(bitsRow)).crossJoin(broadcast(nbProbe))
         .join(broadcast(exact), Seq("sh"), "left")
         .select(col("doc_id"),
-          bf.mightContain(col("bloom_bits"), col("sh"), bits = 65536, hashes = 3)
-            .cast("int").as("pass"),
+          (0 until 3).map(i =>
+            array_contains(col("bloom_bits"), pos(i, col("m_probe"))))
+            .reduce(_ && _).cast("int").as("pass"),
           coalesce(col("is_exact"), lit(0)).as("is_exact"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
