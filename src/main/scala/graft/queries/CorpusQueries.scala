@@ -565,8 +565,49 @@ object CorpusQueries {
         sum(when(!bad, col("n_chars"))).cast("long").as("sum_chars"),
         countDistinct(when(!bad, col("lang"))).as("n_langs"),
         count(when(bad, lit(1))).cast("int").as("n_corrupt"))
+    },
+
+    // ── SRC2: ORC ingest round-trip — the other columnar format a corpus
+    // pipeline inherits (Hive-era lakes are ORC). Stage documents as ORC
+    // (fingerprint-guarded, src1's contract), read back, and aggregate a
+    // FILTERED slice so the comparison exercises ORC predicate pushdown +
+    // column pruning (asserted in PlanSpec), not just a blind copy; the
+    // oracle pins the slice aggregates to the parquet truth — a reader
+    // that drops rows, loses a column, or breaks a pushed filter flips a
+    // value. One staged write + one pruned scan; nothing driver-side.
+    Q("src2_orc_roundtrip",
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents WHERE n_chars >= 200
+        |GROUP BY 1 ORDER BY lang""".stripMargin) { (s, d) =>
+      val dir = stageOrc(s, d)
+      s.read.orc(dir)
+        .filter(col("n_chars") >= 200)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
     }
   )
+
+  /** Stage documents as ORC once per dataset dir (fingerprint-guarded —
+    * re-staged when the driver regenerates the corpus in place).
+    */
+  private[graft] def stageOrc(s: SparkSession, d: String): String = {
+    val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"/root/repo/target/orc-stage/docs_$sf"
+    val marker = new java.io.File(dir, "_STAGED")
+    val fp = sourceFingerprint(s"$d/documents.parquet")
+    val stale = !marker.exists() ||
+      scala.io.Source.fromFile(marker).mkString.trim != fp
+    if (stale) {
+      Tables.documents(s, d).write.mode("overwrite").orc(dir)
+      val w = new java.io.PrintWriter(marker)
+      try w.print(fp) finally w.close()
+    }
+    dir
+  }
 
   /** documents' enforced read schema (JSONL carries no footer metadata —
     * the expected shape is part of the ingest contract).

@@ -256,6 +256,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("src2: the n_chars filter and 3-column projection push into the ORC scan") {
+    val p = plan("src2_orc_roundtrip")
+    assert(p.contains("GreaterThanOrEqual(n_chars,200)"),
+      s"no pushed ORC filter:\n$p")
+    assert(p.contains("ReadSchema: struct<lang:string,source:string,n_chars:bigint>"),
+      s"ORC scan reads more than it projects:\n$p")
+  }
+
   test("cap1: per-source selection is a bounded aggregate, never a window sort") {
     // a row_number window would sort every row of a hot source on one
     // reducer; the TopKAggregator keeps O(K) state per group map-side
