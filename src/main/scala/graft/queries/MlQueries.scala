@@ -475,19 +475,30 @@ object MlQueries {
           .cast("long"), m)
       // the same 1-row count feeds build and probe; two aggregates with
       // distinct names keep attribute ids unambiguous when both land in
-      // one plan tree (bitsRow is a subtree of the probe)
+      // one plan tree (the position table is a subtree of the probe)
       val nbBuild = bs.agg((count(lit(1)) * 16).as("m_build"))
       val nbProbe = bs.agg((count(lit(1)) * 16).as("m_probe"))
-      val bitsRow = bs.crossJoin(broadcast(nbBuild))
+      // set positions as a TABLE, probed by BROADCAST hash join — O(1) per
+      // probe row. (A first draft collapsed them into one array probed
+      // with array_contains, which is a LINEAR scan per row: fine at
+      // bf1's 2048 bits, 4e14 comparisons at sf10's 3M-position filter.)
+      val bits = bs.crossJoin(broadcast(nbBuild))
         .select(explode(array((0 until 3).map(pos(_, col("m_build"))): _*)).as("pos"))
-        .agg(sort_array(collect_set(col("pos"))).as("bloom_bits"))
+        .distinct()
       val exact = bs.withColumn("is_exact", lit(1))
-      sh.join(bench, Seq("doc_id"), "left_anti")
-        .crossJoin(broadcast(bitsRow)).crossJoin(broadcast(nbProbe))
-        .join(broadcast(exact), Seq("sh"), "left")
+      val probed = (0 until 3).foldLeft(
+        sh.join(bench, Seq("doc_id"), "left_anti")
+          .crossJoin(broadcast(nbProbe))
+          .join(broadcast(exact), Seq("sh"), "left")
+          .select(Seq(col("doc_id"), col("is_exact")) ++
+            (0 until 3).map(i => pos(i, col("m_probe")).as(s"pos$i")): _*)) {
+        (df, i) =>
+          df.join(broadcast(bits.select(col("pos").as(s"pos$i"),
+            lit(1).as(s"hit$i"))), Seq(s"pos$i"), "left")
+      }
+      probed
         .select(col("doc_id"),
-          (0 until 3).map(i =>
-            array_contains(col("bloom_bits"), pos(i, col("m_probe"))))
+          (0 until 3).map(i => col(s"hit$i").isNotNull)
             .reduce(_ && _).cast("int").as("pass"),
           coalesce(col("is_exact"), lit(0)).as("is_exact"))
         .groupBy("doc_id")

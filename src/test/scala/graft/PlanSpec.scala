@@ -256,6 +256,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ct2: the Bloom probe is broadcast hash joins, never a per-row array scan") {
+    // array_contains over the position set is O(|filter|) per row — it
+    // measured unbounded at sf10's 3M positions; the probe must be O(1)
+    // broadcast hash lookups
+    val p = plan("ct2_bloom_decontam")
+    assert(!p.contains("array_contains"), s"linear array probe in ct2:\n$p")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3,
+      s"position probes not broadcast joins:\n$p")
+  }
+
   test("src2: the n_chars filter and 3-column projection push into the ORC scan") {
     val p = plan("src2_orc_roundtrip")
     assert(p.contains("GreaterThanOrEqual(n_chars,200)"),
