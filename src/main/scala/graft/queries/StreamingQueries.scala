@@ -191,6 +191,19 @@ object StreamingQueries {
     * watermark passes it, so state is O(keys in the watermark window), not
     * O(all keys ever) as in st3's unbounded variant.
     */
+  /** st7's stateful core: distinct (user, day-window) pairs with the
+    * event-time window IN the dedup key, so the watermark evicts each
+    * day's user set once the day closes — state is one day's distinct
+    * users, never users-ever.
+    */
+  private[graft] def st7Pairs(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(dir).schema
+    s.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "24 hours")
+      .select(col("user_id"), window(col("ts"), "1 day").as("w"))
+      .dropDuplicates("user_id", "w")
+  }
+
   private[graft] def st5Deduped(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(dir).schema
     val src = s.readStream.schema(schema).parquet(dir)
@@ -342,6 +355,27 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(round(col("value") * 100).cast("long")) / 100.0, 2).as("total"))
         .orderBy("n_name")
+    },
+
+    // ── ST7: streaming daily-active-users — the canonical product metric
+    // whose hard part at scale is the per-window DISTINCT state, not the
+    // count: dedup on (user_id, day-window) with the event-time window in
+    // the dedup key, so the watermark EVICTS each day's user set once the
+    // day closes — state is one day's distinct users, never users-ever
+    // (st5's identity-dedup contract lifted to a time-bucketed key). The
+    // deduped pairs drain to parquet (st6's pattern) and the count per day
+    // is a batch rollup of the drained, already-distinct rows; the oracle
+    // is the batch count(DISTINCT user_id) per day.
+    Q("st7_stream_dau",
+      """SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+        |       count(DISTINCT user_id) AS dau
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+      val dir = stageEvents(s, d)
+      val res = withStatePartitions(s, dir) { drainToParquet(s, st7Pairs(s, dir), "st7") }
+      res.groupBy("w")
+        .agg(count(lit(1)).as("dau"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("dau"))
+        .orderBy("day")
     }
   )
 }

@@ -24,7 +24,7 @@ class QueriesSpec extends SparkSpec {
     val unchecked = Set.empty[String]
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == unchecked, s"queries without oracle SQL: $missing")
-    assert(SparkEntry.queries.size >= 156)
+    assert(SparkEntry.queries.size >= 157)
   }
 
   test("GK approx quantiles sit within ±0.01-rank exact bounds (p50_ok/p90_ok)") {

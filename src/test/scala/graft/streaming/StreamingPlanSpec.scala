@@ -75,6 +75,16 @@ class StreamingPlanSpec extends SparkSpec {
       s"no watermark feeding the dedup state bound:\n$plan")
   }
 
+  test("st7 plans windowed-key dedup state bounded by the watermark") {
+    val dir = StreamingQueries.stageEvents(spark, sf)
+    val plan = executedPlan(StreamingQueries.st7Pairs(spark, dir),
+      s"plan_st7_${System.nanoTime()}")
+    assert(plan.contains("StreamingDeduplicate"),
+      s"expected streaming dedup state for the DAU key, got:\n$plan")
+    assert(plan.contains("EventTimeWatermark"),
+      s"no watermark bounding the per-day user state:\n$plan")
+  }
+
   test("no pack streaming query drains through the memory sink") {
     // source lint: the pack must never construct a memory sink — every
     // query drains executor-side via the parquet file sink (append) or
