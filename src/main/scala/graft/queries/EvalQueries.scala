@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Round-10 extensions, second wave: the model-evaluation and monitoring
+  * operators of a production pipeline — rank-statistic AUC, empirical
+  * calibration tables, CUSUM changepoint detection over daily series,
+  * KMV distinct-intersection sketches, and last-touch revenue attribution.
+  *
+  * Determinism contracts (the ols1/ab1 class):
+  *  - every cross-engine aggregate is an exact INTEGER (counts, integer
+  *    ppm via `div`, exact cents) — identical at any partition count;
+  *  - no libm call appears anywhere in this file: AUC, calibration,
+  *    CUSUM, and KMV are pure integer arithmetic end to end.
+  *
+  * Scale design (100 TB):
+  *  - auc1 reduces the corpus to |distinct scores| rows FIRST (one keyed
+  *    agg with map-side combine); the tie-correcting prefix window runs
+  *    over that bounded table, never over rows.
+  *  - cal1 is two keyed aggs (user, then bin) — the classic two-level
+  *    rollup, no window, no sort beyond the final bin ordering.
+  *  - cp1's CUSUM recursion max(0, S+d) is rewritten as
+  *    prefix_sum − running_min — two windows over the DAILY series
+  *    (|days| rows), so the recurrence never leaves declarative SQL.
+  *  - agg9's per-side sketch is a k-row TakeOrdered (O(k) heap per
+  *    partition, map-side partial top-k — sp4's plan class); sketches
+  *    merge by union∘limit, which is exactly KMV mergeability, and every
+  *    join downstream of the corpus scan is k-row broadcast-class.
+  *  - at1 is one window shuffle on user_id (w6's key) + a low-cardinality
+  *    keyed rollup; the window state is one string per user (the last
+  *    non-purchase type), independent of history length.
+  */
+object EvalQueries {
+
+  /** 48-bit md5-prefix hash in DuckDB SQL — the 12-nibble extension of
+    * MlQueries.h16 (same strpos arithmetic, BIGINT-exact; 48 bits keeps
+    * every value below 2^53 so even a DOUBLE round-trip would be exact).
+    */
+  private def h48(e: String): String =
+    (0 until 12).map { j =>
+      s"(strpos('0123456789abcdef', substr(md5($e), ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
+    }.mkString("(", "\n + ", ")")
+
+  /** Spark twin of [[h48]]: conv on the first 12 md5 nibbles. */
+  private def h48c(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  private val KmvK = 256
+  /** 2^48 — the hash domain size for the (k−1)·M/h_k KMV estimator. */
+  private val KmvM = 1L << 48
+
+  def all: Seq[Q] = Seq(
+
+    // ── AUC1: tie-corrected Mann–Whitney AUC of a score column against a
+    // binary label — the metric every classifier gate (lr1's class) is
+    // judged by. Scored here: does document length predict English?
+    // (score = n_chars, label = lang = 'en'; the operator is the rank
+    // statistic — any score/label pair plugs in.)
+    //
+    // 2U = Σ_scores n_pos(s)·(2·n_neg(<s) + n_neg(=s)) counts every
+    // (pos, neg) pair won twice and every tie once — an exact integer, so
+    // AUC travels as auc_ppm = 2U·1e6 div (2·n_pos·n_neg). Exactness
+    // envelope: 2U·1e6 < 2^63 holds to ~4·10⁶ labeled docs per eval
+    // scope — far beyond any human-labeled eval split; at corpus scale
+    // you AUC a hash-sampled split (sp1), not 10¹⁰ rows.
+    //
+    // 100 TB: the corpus collapses to |distinct scores| rows in one
+    // map-side-combined agg; the prefix window orders THAT table.
+    Q("auc1_rank_auc",
+      """WITH s AS (SELECT n_chars AS score,
+        |             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS pos
+        |           FROM documents),
+        |g AS (SELECT score, CAST(sum(pos) AS BIGINT) AS np,
+        |             CAST(count(*) - sum(pos) AS BIGINT) AS nn
+        |      FROM s GROUP BY 1),
+        |c AS (SELECT score, np, nn,
+        |        CAST(coalesce(sum(nn) OVER (ORDER BY score
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_lt
+        |      FROM g),
+        |u AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+        |             CAST(sum(np * (2 * cum_lt + nn)) AS BIGINT) AS u2
+        |      FROM c)
+        |SELECT n_pos, n_neg, u2,
+        |       (u2 * 1000000) // (2 * n_pos * n_neg) AS auc_ppm
+        |FROM u""".stripMargin) { (s, d) =>
+      val sdf = Tables.documents(s, d).select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val g = sdf.groupBy("score").agg(sum("pos").cast("long").as("np"),
+        (count(lit(1)) - sum("pos")).cast("long").as("nn"))
+      val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cum_lt", coalesce(sum("nn").over(w), lit(0L)).cast("long"))
+        .agg(sum("np").cast("long").as("n_pos"),
+          sum("nn").cast("long").as("n_neg"),
+          sum(col("np") * (lit(2L) * col("cum_lt") + col("nn"))).cast("long").as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          expr("(u2 * 1000000L) div (2 * n_pos * n_neg)").as("auc_ppm"))
+    },
+
+    // ── CAL1: empirical calibration table for a monotone score — the
+    // response-curve readout behind threshold tuning (does the score's
+    // ordering hold up in observed outcome rates?). Score: per-user click
+    // count; outcome: ≥1 purchase. Bins are FIXED-WIDTH on the score
+    // (clamped at 10) — never ntile, which would global-sort every user
+    // on one reducer at 100 TB. Two keyed aggs; rates as integer ppm.
+    Q("cal1_calibration_bins",
+      """WITH u AS (SELECT user_id,
+        |             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        |           FROM events GROUP BY 1)
+        |SELECT least(clicks, 10) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(conv) AS BIGINT) AS n_conv,
+        |       (CAST(sum(conv) AS BIGINT) * 1000000) // count(*) AS conv_ppm,
+        |       (CAST(sum(clicks) AS BIGINT) * 1000000) // count(*) AS mean_clicks_ppm
+        |FROM u GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("clicks"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("conv"))
+        .groupBy(least(col("clicks"), lit(10L)).as("bin"))
+        .agg(count(lit(1)).as("n_users"),
+          sum("conv").cast("long").as("n_conv"),
+          expr("(sum(conv) * 1000000L) div count(*)").as("conv_ppm"),
+          expr("(sum(clicks) * 1000000L) div count(*)").as("mean_clicks_ppm"))
+        .orderBy("bin")
+    },
+
+    // ── CP1: CUSUM changepoint detection over the daily error-count
+    // series — the drift alarm of pipeline monitoring (ad1 flags single
+    // anomalous days; CUSUM accumulates SUSTAINED shifts too small to trip
+    // a per-day test). The recursion S_t = max(0, S_{t−1} + (x_t − μ)) is
+    // not expressible as a window fold — but its closed form is:
+    //   S_t = P_t − min(0, min_{k≤t} P_k),   P_t = Σ_{i≤t} (x_i − μ),
+    // two windows over the daily series (CusumSpec proves the identity
+    // against the literal fold). Deviations are scaled by D = #days
+    // (x_t·D − T with T = total) so P stays an exact integer — μ = T/D is
+    // never materialized as a float. Alarm threshold h = T in scaled
+    // units ≡ one full mean-day of cumulative excess.
+    //
+    // 100 TB: the corpus reduces to |days| rows in one keyed agg; both
+    // windows run over that bounded series.
+    Q("cp1_cusum_changepoint",
+      """WITH dc AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+        |                             '%Y-%m-%d') AS day,
+        |              CAST(count(*) AS BIGINT) AS n
+        |            FROM events WHERE event_type = 'error' GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS tot FROM dc),
+        |p AS (SELECT day, n, tot,
+        |        CAST(sum(n * nd - tot) OVER (ORDER BY day) AS BIGINT) AS pfx
+        |      FROM dc CROSS JOIN t),
+        |sarr AS (SELECT day, n, tot,
+        |           pfx - least(CAST(0 AS BIGINT), min(pfx) OVER (ORDER BY day)) AS cusum
+        |         FROM p)
+        |SELECT day, n AS n_events, cusum AS cusum_scaled,
+        |       CAST(CASE WHEN cusum > tot THEN 1 ELSE 0 END AS INTEGER) AS flagged
+        |FROM sarr ORDER BY day""".stripMargin) { (s, d) =>
+      val dc = Tables.events(s, d).filter(col("event_type") === "error")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val t = dc.agg(count(lit(1)).cast("long").as("nd"),
+        sum("n").cast("long").as("tot"))
+      val w = Window.orderBy("day")
+      dc.crossJoin(broadcast(t))
+        .withColumn("pfx", sum(col("n") * col("nd") - col("tot")).over(w).cast("long"))
+        .withColumn("cusum", col("pfx") - least(lit(0L), min("pfx").over(w)))
+        .select(col("day"), col("n").as("n_events"), col("cusum").as("cusum_scaled"),
+          (col("cusum") > col("tot")).cast("int").as("flagged"))
+        .orderBy("day")
+    },
+
+    // ── AGG9: KMV (k-minimum-values) distinct-INTERSECTION sketch — the
+    // set-overlap estimator agg4/agg7 (HLL) can't give you: HLL unions,
+    // KMV intersects (Beyer et al., SIGMOD'07). Sets: users who click vs
+    // users who purchase. Each side keeps its k smallest 48-bit hash
+    // values; the union sketch is the k smallest of the merged sketches
+    // (KMV mergeability — exactly how per-partition sketches combine on a
+    // cluster); |A∪B| ≈ (k−1)·M/h_k and |A∩B| ≈ ρ/k · |A∪B| with ρ =
+    // union-sketch members present in BOTH side sketches. Every estimate
+    // is integer `div` arithmetic on exact integers — both engines replay
+    // it digit-for-digit, and the exact counts travel alongside (the
+    // agg4/agg8 exact-companion contract; KmvSpec asserts the error).
+    //
+    // 100 TB: per-side sketch = distinct-hash TakeOrdered k (O(k) heap
+    // per partition, map-side partial top-k); everything after the two
+    // corpus scans is ≤3k rows.
+    Q("agg9_kmv_intersection", {
+      val h = h48("CAST(user_id AS VARCHAR)")
+      s"""WITH a AS (SELECT DISTINCT CAST($h AS BIGINT) AS h
+         |           FROM events WHERE event_type = 'click'),
+         |b AS (SELECT DISTINCT CAST($h AS BIGINT) AS h
+         |      FROM events WHERE event_type = 'purchase'),
+         |ska AS (SELECT h FROM a ORDER BY h LIMIT $KmvK),
+         |skb AS (SELECT h FROM b ORDER BY h LIMIT $KmvK),
+         |sku AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+         |        ORDER BY h LIMIT $KmvK),
+         |hk AS (SELECT max(h) AS hk, CAST(count(*) AS BIGINT) AS ku FROM sku),
+         |rho AS (SELECT CAST(count(*) AS BIGINT) AS rho FROM sku
+         |        WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_int FROM a WHERE h IN (SELECT h FROM b)),
+         |exu AS (SELECT CAST(count(*) AS BIGINT) AS exact_union
+         |        FROM (SELECT h FROM a UNION SELECT h FROM b)),
+         |est AS (SELECT CASE WHEN ku < $KmvK THEN (SELECT exact_union FROM exu)
+         |                    ELSE ((ku - 1) * $KmvM) // hk END AS est_union, ku
+         |        FROM hk)
+         |SELECT $KmvK AS k, exact_union, est_union, exact_int,
+         |       (rho * est_union) // ku AS est_int
+         |FROM est CROSS JOIN rho CROSS JOIN ex CROSS JOIN exu""".stripMargin
+    }) { (s, d) =>
+      val ev = Tables.events(s, d)
+      def side(t: String): DataFrame = ev.filter(col("event_type") === t)
+        .select(h48c(col("user_id").cast("string")).as("h")).distinct()
+      val a = side("click")
+      val b = side("purchase")
+      def sk(df: DataFrame): DataFrame = df.orderBy("h").limit(KmvK)
+      val ska = sk(a)
+      val skb = sk(b)
+      val sku = sk(ska.union(skb).distinct())
+      val hk = sku.agg(max("h").as("hk"), count(lit(1)).as("ku"))
+      val rho = sku.join(broadcast(ska), "h").join(broadcast(skb), "h")
+        .agg(count(lit(1)).as("rho"))
+      val ex = a.join(b, "h").agg(count(lit(1)).as("exact_int"))
+      val exu = a.union(b).distinct().agg(count(lit(1)).as("exact_union"))
+      hk.crossJoin(broadcast(rho)).crossJoin(ex).crossJoin(exu)
+        .select(lit(KmvK).as("k"), col("exact_union"),
+          when(col("ku") < KmvK, col("exact_union"))
+            .otherwise(expr(s"((ku - 1) * ${KmvM}L) div hk")).as("est_union"),
+          col("exact_int"), col("rho"), col("ku"))
+        .select(col("k"), col("exact_union"), col("est_union"), col("exact_int"),
+          expr("(rho * est_union) div ku").as("est_int"))
+    },
+
+    // ── AT1: last-touch revenue attribution — which channel (the last
+    // non-purchase event before each purchase) gets credit for the
+    // revenue. The per-user carry-forward is `last(..., ignoreNulls)` over
+    // ROWS UNBOUNDED PRECEDING..1 PRECEDING (w6's ordering: sec, then
+    // event_id as the total tie-break) — O(1) window state per user
+    // regardless of history length; purchases with no prior event
+    // attribute to 'direct'. Revenue sums as exact integer cents (the j1
+    // contract). One user-keyed window shuffle + a |channels|-row rollup.
+    Q("at1_last_touch_attribution",
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |             date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |                       CAST(ts AS TIMESTAMP)) AS sec
+        |           FROM events),
+        |a AS (SELECT user_id, event_type, value,
+        |        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |                   IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        |      FROM e)
+        |SELECT coalesce(channel, 'direct') AS channel,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS revenue
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          unix_timestamp(col("ts")).as("sec"))
+        .withColumn("channel",
+          last(when(col("event_type") =!= "purchase", col("event_type")), true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(round(col("value") * 100).cast("long")) / 100.0, 2).as("revenue"))
+        .orderBy("channel")
+    }
+  )
+}
