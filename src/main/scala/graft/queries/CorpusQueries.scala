@@ -280,6 +280,50 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // ── CT3: contamination overlap FRACTION — ct1 counts shared shingles;
+    // the eval-decontamination rule actually applied (GPT-3 appendix C /
+    // PaLM style) thresholds the FRACTION of a doc's n-grams that appear
+    // in the benchmark: frac = n_shared / n_distinct_shingles, flag at
+    // > 10%. Same plan skeleton as ct1 (cached shingle stage, benchmark
+    // set broadcast, corpus never shuffles) plus one doc-keyed size agg;
+    // the fraction travels as integer ppm and the 10% verdict as the
+    // integer test n_shared·10 > n_shingles — no float ratio to drift.
+    Q("ct3_overlap_fraction",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         toks[r.range+1] || ' ' || toks[r.range+2] || ' ' || toks[r.range+3] AS sh
+        |       FROM t, range(1024) r WHERE r.range < len(toks) - 2),
+        |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1),
+        |bench AS (SELECT doc_id FROM documents
+        |  WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) < 3276),
+        |bs AS (SELECT DISTINCT sh FROM sh JOIN bench USING (doc_id)),
+        |hits AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |         FROM sh s JOIN bs USING (sh)
+        |         WHERE s.doc_id NOT IN (SELECT doc_id FROM bench) GROUP BY 1)
+        |SELECT h.doc_id, n_shared, n_shingles,
+        |       (n_shared * 1000000) // n_shingles AS frac_ppm,
+        |       CAST(n_shared * 10 > n_shingles AS INT) AS flagged
+        |FROM hits h JOIN ns USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = TextQueries.shinglesDf(s, d)
+      val ns = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val bench = graft.operators.Sampling
+        .uniform(Tables.documents(s, d), col("doc_id"), 0.05)
+        .select("doc_id")
+      val benchSh = sh.join(bench, Seq("doc_id"), "left_semi")
+        .select("sh").distinct()
+      sh.join(bench, Seq("doc_id"), "left_anti")
+        .join(broadcast(benchSh), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .join(ns, "doc_id")
+        .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+          expr("(n_shared * 1000000L) div n_shingles").as("frac_ppm"),
+          (col("n_shared") * 10 > col("n_shingles")).cast("int").as("flagged"))
+        .orderBy("doc_id")
+    },
+
     // ── T9: PMI collocations — pointwise mutual information over adjacent
     // bigrams: pmi = ln((c12/B) / ((c1/T)(c2/T))). Two keyed counts plus
     // two 1-row totals (broadcast); top-20 under a total order. The

@@ -234,6 +234,68 @@ object EvalQueries {
           expr("(rho * est_union) div ku").as("est_int"))
     },
 
+    // ── GINI1: revenue-concentration Gini coefficient — the inequality
+    // readout of marketplace analytics (how concentrated is spend across
+    // customers?). G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over per-user
+    // revenue sorted ascending. The rank is [[graft.operators.GlobalIds]]
+    // (range repartition + O(P) prefix-sum) — NEVER a row_number window,
+    // whose SinglePartition sort over every user is the canonical scale-
+    // killer; (cents, user) is the total tie-broken order both engines
+    // replay. Σ rank·cents exceeds int64 at sf10-scale (n·w ≈ 5e20), so it
+    // accumulates as DECIMAL(38,0)/HUGEINT — pca1's norm² contract: the
+    // one >2⁵³ integer→double conversion rounds to nearest identically in
+    // both engines, and every double after it has the same expression
+    // shape. Revenue sums as exact integer cents (j1 contract).
+    Q("gini1_revenue_concentration",
+      """WITH u AS (SELECT o_custkey AS usr,
+        |             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |           FROM orders GROUP BY 1),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents, usr) AS rnk FROM u),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(cents) AS BIGINT) AS total_cents FROM u),
+        |sq AS (SELECT sum(CAST(rnk AS HUGEINT) * cents) AS sw FROM r)
+        |SELECT n, total_cents,
+        |       round((2.0 * sw - (CAST(n AS DOUBLE) + 1) * total_cents)
+        |             / (CAST(n AS DOUBLE) * total_cents), 6) AS gini
+        |FROM t CROSS JOIN sq""".stripMargin) { (s, d) =>
+      val u = Tables.orders(s, d).groupBy(col("o_custkey").as("usr"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val ranked = graft.operators.GlobalIds
+        .withGlobalId(u, "gid", col("cents"), col("usr"))
+      val t = u.agg(count(lit(1)).cast("long").as("n"),
+        sum("cents").cast("long").as("total_cents"))
+      ranked
+        .agg(sum((col("gid") + 1).cast("decimal(38,0)") * col("cents")).as("sw"))
+        .crossJoin(broadcast(t))
+        .select(col("n"), col("total_cents"),
+          round((lit(2.0) * col("sw") - (col("n").cast("double") + 1) * col("total_cents"))
+            / (col("n").cast("double") * col("total_cents")), 6).as("gini"))
+    },
+
+    // ── PA1: k-anonymity audit over quasi-identifiers — the privacy
+    // release check for a training-data drop: how many (lang, source,
+    // length-bucket) groups have fewer than k=5 members, and how many rows
+    // sit in them (re-identification candidates). One keyed agg to
+    // |groups| rows + a 1-row rollup — rd1 redacts PII VALUES; pa1 audits
+    // whether the remaining metadata still isolates individuals.
+    Q("pa1_k_anonymity",
+      """WITH q AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS small_groups,
+        |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |       CAST(min(n) AS BIGINT) AS min_group
+        |FROM q""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"), expr("n_chars div 100").as("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).cast("long").as("small_groups"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).cast("long").as("rows_at_risk"),
+          min("n").cast("long").as("min_group"))
+    },
+
     // ── AT1: last-touch revenue attribution — which channel (the last
     // non-purchase event before each purchase) gets credit for the
     // revenue. The per-user carry-forward is `last(..., ignoreNulls)` over

@@ -725,6 +725,97 @@ object MlQueries {
         .orderBy("qid")
     },
 
+    // ── MMR1: maximal-marginal-relevance diversification (Carbonell &
+    // Goldstein, SIGIR'98) — the rerank between retrieval and a RAG
+    // context window: greedily pick k=5 of the top-20 candidates
+    // maximizing λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), λ = 0.7.
+    // With rel/sim as round(cos·1e4) integers the score is the EXACT
+    // integer 7·rel − 3·ms (×10) — the greedy argmax chain is pure integer
+    // comparison, tie-broken on nid, so both engines replay every pick.
+    //
+    // Scale shape: candidate generation is sim1's plan (query broadcast,
+    // ONE corpus stream, TakeOrdered 20); the 20×20 pair-sim table and the
+    // 5-step greedy run on the bounded candidate set (≤420 integer rows —
+    // the hh1/pca1 bounded-collect class; all float math stays in-plan).
+    // The oracle unrolls the same five steps as CTEs over the same
+    // integers.
+    Q("mmr1_diverse_rerank", {
+      val norms =
+        """norms AS (
+          |  SELECT vec_id, sqrt(sum(CAST(embedding[r.range+1] AS DOUBLE)
+          |                          * CAST(embedding[r.range+1] AS DOUBLE))) AS nrm
+          |  FROM embeddings, range(64) r GROUP BY vec_id)""".stripMargin
+      val cand =
+        """d AS (SELECT e.vec_id AS nid,
+          |         sum(CAST(q.embedding[r.range+1] AS DOUBLE)
+          |             * CAST(e.embedding[r.range+1] AS DOUBLE)) AS dot
+          |       FROM embeddings q, embeddings e, range(64) r
+          |       WHERE q.vec_id = 0 AND e.vec_id <> 0 GROUP BY 1),
+          |relq AS (SELECT nid, CAST(round(dot / (nq.nrm * ne.nrm) * 10000) AS BIGINT) AS rel
+          |         FROM d JOIN norms nq ON nq.vec_id = 0 JOIN norms ne ON ne.vec_id = nid),
+          |cand AS (SELECT nid, rel FROM relq ORDER BY rel DESC, nid LIMIT 20),
+          |cd AS (SELECT c.nid, e.embedding FROM cand c JOIN embeddings e ON e.vec_id = c.nid),
+          |pd AS (SELECT a.nid AS i, b.nid AS j,
+          |         sum(CAST(a.embedding[r.range+1] AS DOUBLE)
+          |             * CAST(b.embedding[r.range+1] AS DOUBLE)) AS dot
+          |       FROM cd a, cd b, range(64) r WHERE a.nid <> b.nid GROUP BY 1, 2),
+          |p AS (SELECT i, j, CAST(round(dot / (ni.nrm * nj.nrm) * 10000) AS BIGINT) AS sim
+          |      FROM pd JOIN norms ni ON ni.vec_id = i JOIN norms nj ON nj.vec_id = j),
+          |sel0 AS (SELECT CAST(NULL AS BIGINT) AS nid WHERE 1 = 0)""".stripMargin
+      val steps = (1 to 5).map { i =>
+        s"""sc$i AS (SELECT c.nid, c.rel,
+           |    coalesce(max(CASE WHEN p.j IN (SELECT nid FROM sel${i - 1})
+           |                      THEN p.sim END), 0) AS ms
+           |  FROM cand c LEFT JOIN p ON p.i = c.nid
+           |  WHERE c.nid NOT IN (SELECT nid FROM sel${i - 1}) GROUP BY 1, 2),
+           |pick$i AS (SELECT nid, 7 * rel - 3 * ms AS score FROM sc$i
+           |           ORDER BY score DESC, nid LIMIT 1),
+           |sel$i AS (SELECT nid FROM sel${i - 1} UNION ALL SELECT nid FROM pick$i)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 5).map(i =>
+        s"SELECT CAST($i AS INTEGER) AS step, nid, score AS score_x10 FROM pick$i")
+        .mkString("\nUNION ALL ")
+      s"WITH $norms,\n$cand,\n$steps\n$out\nORDER BY step"
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val corpus = Tables.embeddings(s, d)
+      val q0 = corpus.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val cands = corpus.crossJoin(broadcast(q0)).filter(col("vec_id") =!= 0)
+        .withColumn("rel", round(expr("cosine_sim(qe, embedding) * 10000")).cast("long"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+        .select(col("vec_id").as("nid"), col("rel"), col("embedding"))
+        .localCheckpoint()
+      val a = cands.select(col("nid").as("i"), col("embedding").as("ea"))
+      val b = cands.select(col("nid").as("j"), col("embedding").as("eb"))
+      val psims = a.crossJoin(b).filter(col("i") =!= col("j"))
+        .withColumn("sim", round(expr("cosine_sim(ea, eb) * 10000")).cast("long"))
+        .select("i", "j", "sim")
+      val rels = cands.select("nid", "rel").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val sims = psims.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // greedy argmax chain on the bounded integers — identical to the
+      // oracle's unrolled CTEs pick-for-pick (exact ints, nid tie-break)
+      var selected = Vector.empty[(Int, Long, Long)]
+      for (step <- 1 to 5) {
+        val selIds = selected.map(_._2)
+        val remaining = rels.filter { case (c, _) => !selIds.contains(c) }
+        // < k candidates exhausts the pool early — the oracle's pick CTEs
+        // go empty the same way, so both sides emit the same short list
+        if (remaining.nonEmpty) {
+          val (nid, score) = remaining
+            .map { case (c, rel) =>
+              val ms = if (selIds.isEmpty) 0L else selIds.map(sid => sims((c, sid))).max
+              (c, 7 * rel - 3 * ms)
+            }
+            .minBy { case (c, sc) => (-sc, c) }
+          selected :+= ((step, nid, score))
+        }
+      }
+      import s.implicits._
+      selected.toDF("step", "nid", "score_x10")
+    },
+
     // ── TR1: corpus snapshot diff — the versioning op between two corpus
     // releases (what changed since the last training run): full outer join
     // on the key comparing content fingerprints → added / removed /

@@ -168,6 +168,87 @@ class EvalQueriesSpec extends SparkSpec {
       "click" -> (1L, 10.00), "direct" -> (1L, 5.50), "view" -> (1L, 2.25)))
   }
 
+  // ── gini1 ───────────────────────────────────────────────────────────────
+
+  private def writeOrders(dir: String, rows: Seq[(Long, Long, Double)]): Unit = {
+    import spark.implicits._
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_orderdate", lit("2024-01-01").cast("timestamp"))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+  }
+
+  test("gini1: equal revenue is 0; hand-computed concentration is 0.72") {
+    val dir = tmpDir("gini1a")
+    writeOrders(dir, (1L to 4L).map(u => (u, u, 25.0)))
+    assert(q("gini1_revenue_concentration").run(spark, dir)
+      .collect()(0).getDouble(2) == 0.0)
+    val dir2 = tmpDir("gini1b")
+    // revenues [1,1,1,97]: G = (2·(1+2+3+4·97) − 5·100) / (4·100) = 0.72
+    writeOrders(dir2, Seq((1L, 1L, 1.0), (2L, 2L, 1.0), (3L, 3L, 1.0), (4L, 4L, 97.0)))
+    assert(q("gini1_revenue_concentration").run(spark, dir2)
+      .collect()(0).getDouble(2) == 0.72)
+  }
+
+  // ── pa1 ─────────────────────────────────────────────────────────────────
+
+  test("pa1: a singleton quasi-identifier group is flagged at risk") {
+    val dir = tmpDir("pa1")
+    // six docs share (en, s, bucket 0); one (fr, s, bucket 0) is a singleton
+    writeDocs(dir, (1L to 6L).map(i => (i, "x" * 10, "en")) :+ (7L, "y" * 10, "fr"))
+    val r = SparkEntry.queries("pa1_k_anonymity")(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (2L, 1L, 1L, 1L))
+  }
+
+  // ── ct3 ─────────────────────────────────────────────────────────────────
+
+  /** The 16-bit md5 bucket of graft.operators.Sampling, on the driver. */
+  private def bucket(id: Long): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Integer.parseInt(hex.take(4), 16)
+  }
+
+  test("ct3: overlap fraction is shared-over-distinct shingles, flagged over 10%") {
+    val dir = tmpDir("ct3")
+    val benchId = (1L to 500L).find(bucket(_) < 3276).get
+    val dirtyId = (1L to 500L).find(bucket(_) >= 3276).get
+    val cleanId = (dirtyId + 1L to 600L).find(bucket(_) >= 3276).get
+    writeDocs(dir, Seq(
+      (benchId, "w1 w2 w3 w4", "en"),          // bench shingles: 2
+      (dirtyId, "w1 w2 w3 x1 x2", "en"),       // shares 1 of its 3 shingles
+      (cleanId, "z1 z2 z3", "en")))            // no overlap → absent
+    val out = SparkEntry.queries("ct3_overlap_fraction")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)) ==
+      (dirtyId, 1L, 3L, 333333L, 1))
+  }
+
+  // ── mmr1 ────────────────────────────────────────────────────────────────
+
+  test("mmr1: a duplicate of the first pick is deferred behind a diverse candidate") {
+    import spark.implicits._
+    val dir = tmpDir("mmr1")
+    Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),     // query
+      (1L, Array(1f, 0.1f, 0f, 0f)),
+      (2L, Array(1f, 0.1f, 0f, 0f)),   // exact duplicate of 1
+      (3L, Array(1f, -0.1f, 0f, 0f)),  // same rel as 1/2, diverse
+      (4L, Array(0.5f, 0.8f, 0f, 0f))) // lower rel, most diverse
+      .toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("mmr1_diverse_rerank")(spark, dir).collect()
+    // rel(1)=rel(2)=rel(3) tie → nid picks 1; then 3 (the duplicate 2 is
+    // penalized by sim=10000 to the selected 1); then 2; the pool (4
+    // candidates) exhausts at 4 picks even though k=5.
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L, 4L))
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("at1: two purchases after one touch both credit that touch") {
     val dir = tmpDir("at1b")
     writeEvents(dir, Seq(
