@@ -72,6 +72,58 @@ object AnalyticsQueries {
 
   def all: Seq[Q] = Seq(
 
+    // ── FI1: frequent co-ordered part pairs (association mining's 2-itemset
+    // pass — the support/confidence readout behind "bought together").
+    // Baskets are the per-order DISTINCT part sets; the pair explode is
+    // bounded by the same CappedCollectSet guard as gr2's co-purchase build
+    // (basket > 30 distinct parts ⇒ order dropped, O(cap) aggregation
+    // state, O(cap²) pairs per order — a hot order can never quadratic a
+    // join group; the cap is pinned in the oracle as the per-order distinct
+    // count filter, identical rows both engines). Supports and confidences
+    // are exact integers (conf as ppm via div); top-50 under a total order
+    // is TakeOrderedAndProject, never a global sort.
+    Q("fi1_frequent_pairs",
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |sz AS (SELECT o, count(*) AS n FROM b GROUP BY 1),
+        |ok AS (SELECT o FROM sz WHERE n <= 30),
+        |bb AS (SELECT b.o, b.p FROM b JOIN ok USING (o)),
+        |pr AS (SELECT x.p AS pa, y.p AS pb, CAST(count(*) AS BIGINT) AS support
+        |       FROM bb x JOIN bb y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+        |s1 AS (SELECT p, CAST(count(*) AS BIGINT) AS np FROM bb GROUP BY 1)
+        |SELECT pa, pb, support,
+        |       (support * 1000000) // sa.np AS conf_a_ppm,
+        |       (support * 1000000) // sb.np AS conf_b_ppm
+        |FROM pr JOIN s1 sa ON sa.p = pr.pa JOIN s1 sb ON sb.p = pr.pb
+        |WHERE support >= 2
+        |ORDER BY support DESC, pa, pb LIMIT 50""".stripMargin) { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val baskets = b.groupBy("o")
+        .agg(graft.functions.CappedCollectSet.sortedSetCapped(30)(col("p")).as("ss"))
+        .filter(size(col("ss")) <= 30)
+      val pairs = baskets
+        .select(explode(col("ss")).as("pa"), col("ss"))
+        .select(col("pa"), explode(col("ss")).as("pb"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+      val singles = baskets.select(explode(col("ss")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("np"))
+      // top-50 FIRST (TakeOrdered on support alone — the ordering keys
+      // don't need the confidences), THEN the confidence joins: the 50-row
+      // side broadcasts against the part catalog, which at scale is a dim
+      // too large to broadcast whole
+      val top = pairs.filter(col("support") >= 2)
+        .orderBy(col("support").desc, col("pa"), col("pb")).limit(50)
+      val withNa = singles.withColumnRenamed("p", "pa").withColumnRenamed("np", "na")
+        .join(broadcast(top), "pa")
+      val full = singles.withColumnRenamed("p", "pb").withColumnRenamed("np", "nb")
+        .join(broadcast(withNa), "pb")
+      full.select(col("pa"), col("pb"), col("support"),
+          expr("(support * 1000000L) div na").as("conf_a_ppm"),
+          expr("(support * 1000000L) div nb").as("conf_b_ppm"))
+        .orderBy(col("support").desc, col("pa"), col("pb"))
+    },
+
     // ── GR2: per-node triangle counts on the supplier co-purchase graph
     // (suppliers linked when a high-quantity item of each shares an order).
     // Degree orientation makes each triangle discoverable exactly once

@@ -565,6 +565,35 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // ── CUR1: curriculum ordering — the easy→hard schedule of curriculum
+    // learning (Bengio et al., ICML'09) composed from house pieces: phase
+    // from FIXED difficulty thresholds on length (no quantile pass, no
+    // global sort to find bucket edges), position = GlobalIds rank over
+    // (phase, md5('cur0:'+id), id) — docs stream in phase order but
+    // pseudo-randomly WITHIN each phase (ord1's seeded-hash shuffle, so
+    // the schedule replays identically across runs/engines); composes with
+    // shd1 for curriculum-ordered shards. Rank is range-repartition +
+    // O(P) prefix-sum — never a single-partition window.
+    Q("cur1_curriculum_order",
+      """SELECT doc_id,
+        |       CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+        |            ELSE 2 END AS phase,
+        |       row_number() OVER (ORDER BY
+        |         CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+        |              ELSE 2 END,
+        |         md5('cur0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("n_chars") < 200, 0).when(col("n_chars") < 400, 1)
+          .otherwise(2).as("phase"))
+      graft.operators.GlobalIds.withGlobalId(
+          docs.withColumn("_h",
+            md5(concat_ws(":", lit("cur0"), col("doc_id").cast("string")))),
+          "pos", col("phase"), col("_h"), col("doc_id"))
+        .drop("_h")
+        .orderBy("doc_id")
+    },
+
     // ── SHD1: deterministic sized-shard export layout
     // (graft.operators.Sharding): shard = global_rank(doc_id) div 512 — the
     // fixed-row-shard layout a training loader streams. The rank comes from

@@ -234,6 +234,44 @@ object EvalQueries {
           expr("(rho * est_union) div ku").as("est_int"))
     },
 
+    // ── OS1: robust outlier profile (median/MAD) — the monitoring screen
+    // mean/stddev can't provide when the tail IS the signal (ad1's z-test
+    // breaks down exactly when outliers inflate its own stddev; the
+    // median/MAD pair is outlier-proof by construction). Two grouped exact
+    // percentiles (agg5's proven cross-engine path) joined back to the
+    // rows; the outlier verdict compares micro-unit INTEGERS rounded from
+    // identically-shaped doubles (ndcg1's risk class) — dev4 > thr4, never
+    // raw float vs raw float on a knife edge. Scale: two keyed percentile
+    // aggs over |types| groups + one broadcast join back; the corpus
+    // streams twice, shuffling only (type, value) pairs.
+    Q("os1_robust_outliers",
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+        |      FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM a GROUP BY 1)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(max(a.med), 4) AS med, round(max(md.mad), 4) AS mad,
+        |       CAST(sum(CASE WHEN CAST(round(abs(a.value - a.med) * 10000) AS BIGINT)
+        |                        > CAST(round(3 * 1.4826 * md.mad * 10000) AS BIGINT)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM a JOIN md USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select("event_type", "value")
+      val m = ev.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+      val a = ev.join(broadcast(m), "event_type")
+        .withColumn("ad", abs(col("value") - col("med")))
+      val md = a.groupBy("event_type").agg(expr("percentile(ad, 0.5)").as("mad"))
+      a.join(broadcast(md), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(max("med"), 4).as("med"), round(max("mad"), 4).as("mad"),
+          sum(when(round(abs(col("value") - col("med")) * 10000).cast("long")
+            > round(lit(3 * 1.4826) * col("mad") * 10000).cast("long"), 1L)
+            .otherwise(0L)).cast("long").as("n_outliers"))
+        .orderBy("event_type")
+    },
+
     // ── GINI1: revenue-concentration Gini coefficient — the inequality
     // readout of marketplace analytics (how concentrated is spend across
     // customers?). G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over per-user

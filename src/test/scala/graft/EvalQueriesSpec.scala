@@ -249,6 +249,63 @@ class EvalQueriesSpec extends SparkSpec {
     assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
   }
 
+  // ── os1 ─────────────────────────────────────────────────────────────────
+
+  test("os1: median/MAD are exact; only the planted tail value flags") {
+    val dir = tmpDir("os1")
+    // values 1..9 plus 100: med = 5.5, MAD = 2.5, threshold = 11.1195 —
+    // only |100 − 5.5| = 94.5 exceeds it.
+    val rows = ((1 to 9).map(_.toDouble) :+ 100.0).zipWithIndex.map {
+      case (v, i) => ((i + 1).toLong, "2024-01-01 00:00:00", i.toLong, "a", v)
+    }
+    writeEvents(dir, rows)
+    val r = SparkEntry.queries("os1_robust_outliers")(spark, dir).collect()(0)
+    assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)) ==
+      (10L, 5.5, 2.5, 1L))
+  }
+
+  // ── fi1 ─────────────────────────────────────────────────────────────────
+
+  test("fi1: support counts co-orders; an over-cap basket is dropped") {
+    import spark.implicits._
+    val dir = tmpDir("fi1")
+    // o1/o2 both contain {1,2} → support 2; o3 {1,3} under minsup; o4 has
+    // 31 distinct parts INCLUDING 1 and 2 — over the cap, so it must NOT
+    // raise (1,2) to 3.
+    val rows = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L)) ++
+      (1L to 31L).map(p => (4L, 100L + p)) ++ Seq((4L, 1L), (4L, 2L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .withColumn("l_suppkey", lit(1L)).withColumn("l_linenumber", lit(1))
+      .withColumn("l_quantity", lit(1.0)).withColumn("l_extendedprice", lit(1.0))
+      .withColumn("l_discount", lit(0.0)).withColumn("l_tax", lit(0.0))
+      .withColumn("l_returnflag", lit("N")).withColumn("l_linestatus", lit("O"))
+      .withColumn("l_shipdate", lit("2024-01-01").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("fi1_frequent_pairs")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // conf_a = 2/3 of orders with part 1 (o1,o2,o3 — o4 dropped by cap)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (1L, 2L, 2L, 666666L, 1000000L))
+  }
+
+  // ── cur1 ────────────────────────────────────────────────────────────────
+
+  test("cur1: phases order by threshold, positions shuffle by seeded hash within") {
+    val dir = tmpDir("cur1")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // two short docs (phase 0), one medium (1), one long (2)
+    writeDocs(dir, Seq(
+      (1L, "x" * 100, "en"), (2L, "y" * 150, "en"),
+      (3L, "z" * 300, "en"), (4L, "w" * 500, "en")))
+    val out = SparkEntry.queries("cur1_curriculum_order")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val phase0 = Seq(1L, 2L).sortBy(id => (md5hex(s"cur0:$id"), id))
+    assert(out(phase0(0)) == (0, 0L) && out(phase0(1)) == (0, 1L))
+    assert(out(3L) == (1, 2L) && out(4L) == (2, 3L))
+  }
+
   test("at1: two purchases after one touch both credit that touch") {
     val dir = tmpDir("at1b")
     writeEvents(dir, Seq(
