@@ -62,7 +62,24 @@ object CappedCollectSet {
     * `cap + 1` elements once the cap is provably exceeded. Pair with
     * `filter(size(ss) <= cap)` — exactly `sort_array(collect_set(c))`
     * semantics under that filter, with O(cap) aggregation state.
+    *
+    * Backed by the native [[CappedDistinctAgg]] (primitive-array buffer,
+    * packed-long serialization): the original `Aggregator` form above keeps
+    * the contract readable and spec-tested, but its per-row immutable-Map
+    * allocation + ExpressionEncoder round-trip measured 8× slower than
+    * built-in `collect_set` on sf10's 60M-row basket build; the native form
+    * matches built-in speed while keeping the hard bound.
     */
-  def sortedSetCapped(cap: Int)(c: Column): Column =
+  def sortedSetCapped(cap: Int)(c: Column): Column = {
+    GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    org.apache.spark.sql.functions.call_function(
+      "capped_distinct", c, org.apache.spark.sql.functions.lit(cap))
+  }
+
+  /** The original typed-Aggregator form, kept as the documented reference
+    * implementation of the cap contract (AnalyticsSpec exercises it
+    * directly against the native form).
+    */
+  def sortedSetCappedUdaf(cap: Int)(c: Column): Column =
     udaf(new CappedDistinct(cap), Encoders.scalaLong)(c)
 }

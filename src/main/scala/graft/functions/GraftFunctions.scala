@@ -17,7 +17,10 @@ object GraftFunctions {
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "sq_dist" -> (exprs => SqDist(exprs(0), exprs(1))),
-    "rolling_hash" -> (exprs => RollingHash(exprs.head)))
+    "rolling_hash" -> (exprs => RollingHash(exprs.head)),
+    // aggregate: the analyzer wraps an AggregateFunction builder result in
+    // an AggregateExpression at resolution, same as the built-in registry
+    "capped_distinct" -> (exprs => CappedDistinctAgg(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -42,5 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("capped_distinct"),
+      new ExpressionInfo(classOf[CappedDistinctAgg].getName, "capped_distinct"),
+      (exprs: Seq[Expression]) => CappedDistinctAgg(exprs(0), exprs(1))))
   }
 }

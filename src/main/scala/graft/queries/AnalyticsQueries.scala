@@ -96,8 +96,12 @@ object AnalyticsQueries {
         |FROM pr JOIN s1 sa ON sa.p = pr.pa JOIN s1 sb ON sb.p = pr.pb
         |WHERE support >= 2
         |ORDER BY support DESC, pa, pb LIMIT 50""".stripMargin) { (s, d) =>
+      // no pre-distinct (the gr2 lesson): the capped set collector dedups
+      // (o, p) itself map-side, so the raw incidence rows reach the basket
+      // agg through ONE exchange — the explicit distinct() was a second
+      // full 60M-row shuffle buying nothing
       val b = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       val baskets = b.groupBy("o")
         .agg(graft.functions.CappedCollectSet.sortedSetCapped(30)(col("p")).as("ss"))
         .filter(size(col("ss")) <= 30)

@@ -56,4 +56,40 @@ class AnalyticsSpec extends SparkSpec {
     val bPart = (6L to 20L).foldLeft(agg.zero)(agg.reduce)
     assert(agg.finish(agg.merge(aPart, bPart)).toSeq == (1L to 20L))
   }
+
+  test("native capped_distinct: state bound, serialization round-trip, and row-for-row parity with the Aggregator form") {
+    // the native TypedImperativeAggregate's state machine, driven directly:
+    // same O(cap) bound and over-cap verdict as the Aggregator reference
+    val nat = graft.functions.CappedDistinctAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L),
+      org.apache.spark.sql.catalyst.expressions.Literal(25))
+    var buf = nat.createAggregationBuffer()
+    (1L to 100000L).foreach { v =>
+      buf.add(v)
+      assert(buf.n <= 26, s"buffer grew to ${buf.n}")
+    }
+    val rt = nat.deserialize(nat.serialize(buf)) // partial-boundary round-trip
+    assert(rt.n == buf.n && rt.arr.take(rt.n).sameElements(buf.arr.take(buf.n)))
+    var other = nat.createAggregationBuffer()
+    (200000L to 200040L).foreach(other.add)
+    val merged = nat.merge(buf, other)
+    assert(merged.n <= 26 && merged.n > 25, "over-cap verdict lost in merge")
+
+    // end-to-end parity under the size filter (the only contract call sites
+    // use): native vs Aggregator-UDAF on a frame with under- and over-cap
+    // keys, including a key fed from many partitions (merge path exercised)
+    import org.apache.spark.sql.functions._
+    val rows = spark.range(0, 4000, 1, 8).select(
+      (col("id") % 40).as("k"),
+      when(col("k") < 20, col("id") % (col("k") + 1)).otherwise(col("id")).as("v"))
+    val n = rows.groupBy("k")
+      .agg(graft.functions.CappedCollectSet.sortedSetCapped(10)(col("v")).as("ss"))
+      .filter(size(col("ss")) <= 10)
+    val u = rows.groupBy("k")
+      .agg(graft.functions.CappedCollectSet.sortedSetCappedUdaf(10)(col("v")).as("ss"))
+      .filter(size(col("ss")) <= 10)
+    assert(n.count() > 0, "filter left no rows — the parity check would be vacuous")
+    assert(n.exceptAll(u).isEmpty && u.exceptAll(n).isEmpty,
+      "native capped_distinct diverges from the Aggregator reference under the size filter")
+  }
 }
