@@ -440,23 +440,30 @@ object MlQueries {
           s"(strpos('0123456789abcdef', substr($h, $n, 1)) - 1) * ${1L << (4 * (8 - n))}")
           .mkString("(", " + ", ")")
       }
-      def posSql(i: Int): String = s"(${h32sql(i)} % (SELECT m FROM nb))"
+      // each md5 position is computed ONCE per DISTINCT shingle (p3), not
+      // per (doc, shingle) occurrence, and every multiply-referenced CTE is
+      // MATERIALIZED (the gr2 oracle lesson — DuckDB inlines plain CTEs and
+      // re-derives the whole shingle pipeline per reference; the inlined
+      // form spilled past this host's 78 GB temp at sf10)
+      def posSql(i: Int): String = s"(${h32sql(i)} % m)"
       val probeIn = (0 until 3)
-        .map(i => s"${posSql(i)} IN (SELECT pos FROM bits)").mkString(" AND ")
+        .map(i => s"p.pos$i IN (SELECT pos FROM bits)").mkString(" AND ")
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
-         |sh AS (SELECT DISTINCT doc_id,
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
          |         toks[r.range+1] || ' ' || toks[r.range+2] || ' ' || toks[r.range+3] AS sh
          |       FROM t, range(1024) r WHERE r.range < len(toks) - 2),
-         |bench AS (SELECT doc_id FROM documents
+         |bench AS MATERIALIZED (SELECT doc_id FROM documents
          |  WHERE ${h16("CAST(doc_id AS VARCHAR)")} < 3276),
-         |bs AS (SELECT DISTINCT sh FROM sh JOIN bench USING (doc_id)),
+         |bs AS MATERIALIZED (SELECT DISTINCT sh FROM sh JOIN bench USING (doc_id)),
          |nb AS (SELECT count(*) * 16 AS m FROM bs),
-         |bits AS (SELECT DISTINCT unnest(ARRAY[${(0 until 3).map(posSql).mkString(", ")}]) AS pos
-         |         FROM bs),
-         |probe AS (SELECT s.doc_id, s.sh,
+         |p3 AS MATERIALIZED (SELECT sh, ${(0 until 3).map(i => s"${posSql(i)} AS pos$i").mkString(", ")}
+         |      FROM (SELECT DISTINCT sh FROM sh), nb),
+         |bits AS MATERIALIZED (SELECT DISTINCT unnest(ARRAY[pos0, pos1, pos2]) AS pos
+         |         FROM p3 JOIN bs USING (sh)),
+         |probe AS (SELECT s.doc_id,
          |            CAST($probeIn AS INT) AS pass,
          |            CAST(s.sh IN (SELECT sh FROM bs) AS INT) AS is_exact
-         |          FROM sh s
+         |          FROM sh s JOIN p3 p USING (sh)
          |          WHERE s.doc_id NOT IN (SELECT doc_id FROM bench)),
          |agg AS (SELECT doc_id, count(*) AS n_shingles,
          |          CAST(sum(pass) AS BIGINT) AS n_candidates,

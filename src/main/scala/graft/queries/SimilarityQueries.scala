@@ -602,6 +602,44 @@ object SimilarityQueries {
         .select(col("cid"), col("n"),
           round(col("sp") * 1.0 / (col("n") * 1000000.0), 6).as("mean_s"))
         .orderBy("cid")
+    },
+
+    // ── EMB6: Johnson–Lindenstrauss random projection 64→16 dims with a
+    // seeded Rademacher (±1) matrix (Achlioptas 2003's database-friendly
+    // projection: sign entries, no Gaussian sampling). The projection
+    // matrix is DERIVED, not stored: sign(i, r) = parity of the first
+    // md5 hex digit of "i:r", so both engines materialize the identical
+    // matrix from nothing — the ord1/ct1 md5-determinism device. The
+    // corpus-side plan is: quantize each coordinate to exact integer
+    // micro-units once (the j1 money lesson — the ±-weighted sum is then
+    // INTEGER arithmetic, no float summation order to disagree on), then
+    // one crossJoin against the BROADCAST 16-row sign table and a fused
+    // zip_with/aggregate fold per (vector, output-dim) — 16 output rows
+    // per vector, no shuffle of the corpus at all (the 1024-entry sign
+    // table costs 16×64 md5 calls total, once, not per row).
+    Q("emb6_random_projection",
+      """WITH sg AS (SELECT r.range AS r, i.range AS i,
+        |    CASE WHEN ascii(substr(md5(i.range || ':' || r.range), 1, 1)) % 2 = 0
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM range(16) r, range(64) i)
+        |SELECT e.vec_id, sg.r,
+        |       CAST(sum(sg.s * CAST(round(CAST(e.embedding[sg.i + 1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS proj_micro
+        |FROM embeddings e, sg GROUP BY 1, 2
+        |ORDER BY vec_id, r""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val signs = s.range(16).select(col("id").as("r"),
+        expr("""transform(sequence(0, 63), i ->
+                 CASE WHEN ascii(substr(md5(concat(cast(i AS STRING), ':',
+                                    cast(id AS STRING))), 1, 1)) % 2 = 0
+                      THEN 1L ELSE -1L END)""").as("sg"))
+      val mv = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x AS DOUBLE) * 1000000d) AS BIGINT))")
+          .as("mv"))
+      mv.crossJoin(broadcast(signs))
+        .select(col("vec_id"), col("r"),
+          expr("aggregate(zip_with(mv, sg, (x, sn) -> x * sn), 0L, (acc, t) -> acc + t)")
+            .as("proj_micro"))
+        .orderBy("vec_id", "r")
     }
   )
 }
