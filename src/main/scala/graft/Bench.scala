@@ -18,6 +18,20 @@ import org.apache.spark.sql.SparkSession
   * total, failures, the slowest queries, and a pointer to the full file.
   */
 object Bench {
+
+  /** Execute the query's FULL physical plan, iterating every result row
+    * executor-side without collecting (the checksum-style forcing real
+    * benchmark harnesses use). A plain `df.count()` lets Catalyst prune
+    * everything count doesn't need — column pruning plus sort elimination
+    * can delete a query's actual work from the measured plan (emb6's JL
+    * fold benched at a flat 0.27 s across two data decades because the
+    * count plan contained neither the fold nor the sort). `toRdd` compiles
+    * the plan exactly as the query declares it — final ORDER BY included —
+    * and counting its InternalRows keeps the driver out of the data path.
+    */
+  private def force(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,7 +48,7 @@ object Bench {
     // caches are dropped so the timed pass recomputes from the source —
     // only code paths stay warm, not results.
     selected.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     graft.queries.TextQueries.clearCaches()
     spark.catalog.clearCache()
@@ -55,7 +69,7 @@ object Bench {
       System.gc()
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { force(fn(spark, sfDir)); true }
         catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }

@@ -70,6 +70,37 @@ object AnalyticsQueries {
           .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
     }
 
+  /** Synchronous majority-vote label propagation over undirected edges
+    * `(a, b)`: `rounds` sync updates of label(v) ← argmax over neighbor
+    * labels (max vote count, tie → smallest label). Deterministic by
+    * construction — the async/random-order schedule of the original
+    * algorithm can never hash-match an oracle. Returns (node, lbl) for
+    * every edge endpoint. Per round: one join shuffling labels onto the
+    * symmetric edge list, one (node, cand) count, one argmax-by-struct
+    * agg; labels localCheckpoint between rounds so iterative lineage
+    * doesn't stack (the gr1 pattern).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds) {
+      val votes = sym.join(
+        labels.select(col("node").as("v"), col("lbl").as("nl")), "v")
+        .select(col("u").as("node"), col("nl").as("cand"))
+      // argmax(count, then min label) as ONE agg over a struct ordering —
+      // (cnt, -cand) max picks the highest count, then the smallest
+      // label — cheaper than a per-node rank window and identical rows
+      labels = votes.groupBy("node", "cand").agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("cand")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   def all: Seq[Q] = Seq(
 
     // ── FI1: frequent co-ordered part pairs (association mining's 2-itemset
@@ -186,6 +217,49 @@ object AnalyticsQueries {
         .groupBy("n").agg(count(lit(1)).as("n_tri"))
         .select(col("n").as("node"), col("n_tri"))
         .orderBy(col("n_tri").desc, col("node")).limit(20)
+    },
+
+    // ── LP1: community detection by synchronous majority-vote label
+    // propagation (Raghavan et al. 2007) over gr2's supplier co-purchase
+    // graph — the community readout dd6's connected components can't give
+    // (CC merges everything reachable; LPA finds densely-linked groups
+    // inside one component). Three SYNCHRONOUS rounds with a total
+    // tie-break (max vote count, then smallest label) make the fixpoint-
+    // free schedule a pure function of the data: async/random-order LPA —
+    // the paper's default — can never hash-match an oracle. Per round the
+    // plan is one join (labels onto the symmetric edge list, shuffles on
+    // key), one (node, cand) keyed count, and one argmax-by-struct agg —
+    // rank-carrying rows only, the gr1 iteration pattern, with labels
+    // localCheckpointed between rounds so lineage doesn't stack. Edges
+    // build once through the capped collector and are localCheckpointed
+    // before 3 rounds × 2 directions of reuse.
+    Q("lp1_label_propagation", {
+      def round(prev: String, cur: String): String =
+        s"""c$cur AS (SELECT s.u AS node, l.lbl AS cand, count(*) AS cnt
+           |       FROM sym s JOIN l$prev l ON l.node = s.v GROUP BY 1, 2),
+           |l$cur AS MATERIALIZED (SELECT node, cand AS lbl FROM
+           |  (SELECT node, cand, row_number() OVER (PARTITION BY node
+           |     ORDER BY cnt DESC, cand) AS rn FROM c$cur) WHERE rn = 1)"""
+          .stripMargin
+      s"""WITH base AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+         |              FROM lineitem WHERE l_quantity >= 40),
+         |hot AS (SELECT o FROM base GROUP BY o HAVING count(*) > 25),
+         |bc AS (SELECT b.o, b.s FROM base b
+         |       WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.o = b.o)),
+         |e AS MATERIALIZED (SELECT DISTINCT x.s AS a, y.s AS b
+         |      FROM bc x JOIN bc y ON x.o = y.o AND x.s < y.s),
+         |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e
+         |                     UNION ALL SELECT b, a FROM e),
+         |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+         |${round("0", "1")},
+         |${round("1", "2")},
+         |${round("2", "3")}
+         |SELECT node, lbl FROM l3 ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      val base = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
+      val e = coPurchaseEdges(base, maxOrderFanout = Some(25)).localCheckpoint()
+      labelPropagation(e, rounds = 3).orderBy("node")
     },
 
     // ── SP4: deterministic weighted sampling without replacement
