@@ -640,6 +640,50 @@ object SimilarityQueries {
           expr("aggregate(zip_with(mv, sg, (x, sn) -> x * sn), 0L, (acc, t) -> acc + t)")
             .as("proj_micro"))
         .orderBy("vec_id", "r")
+    },
+
+    // ── EMB7: blockwise absmax 4-bit quantization — the block-quant recipe
+    // behind QLoRA-era weight/vector compression (Dettmers et al. 2022:
+    // small blocks bound the quantization error a single per-vector scale
+    // (emb1's int8) smears across all 64 dims when one coordinate is an
+    // outlier). 8 blocks of 8 dims; per block scale = max|v|, codes
+    // round(v·7/scale) ∈ [-7, 7] → 4 bits + one 8-ths scale per block.
+    // Determinism: v·7/scale is ONE IEEE multiply + ONE divide — both
+    // correctly rounded, so the doubles are bit-identical in both engines;
+    // round() of them can only disagree at exact .5, where Spark HALF_UP
+    // and DuckDB half-away-from-zero coincide for every sign. The plan is
+    // a narrow 8× generator per vector (sequence explode — no join at
+    // all), everything else per-row inside codegen; the corpus's only
+    // shuffle is the final presentation sort.
+    Q("emb7_block_quant",
+      """WITH b AS (SELECT vec_id, r.range AS blk,
+        |    list_transform(embedding[r.range*8+1 : r.range*8+8],
+        |                   x -> CAST(x AS DOUBLE)) AS bv
+        |  FROM embeddings, range(8) r),
+        |m AS (SELECT vec_id, blk, bv,
+        |        list_reduce(list_transform(bv, x -> abs(x)),
+        |                    (a, b) -> greatest(a, b)) AS am FROM b)
+        |SELECT vec_id, CAST(blk AS BIGINT) AS blk,
+        |       CAST(round(am * 1000000) AS BIGINT) AS scale_micro,
+        |       array_to_string(list_transform(bv,
+        |         x -> CAST(CAST(CASE WHEN am = 0 THEN 0
+        |                             ELSE round(x * 7 / am) END AS INTEGER) AS VARCHAR)), ',') AS q4
+        |FROM m ORDER BY vec_id, blk""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          explode(expr("sequence(0L, 7L)")).as("blk"))
+        .select(col("vec_id"), col("blk"),
+          expr("slice(transform(embedding, x -> CAST(x AS DOUBLE)), CAST(blk*8+1 AS INT), 8)")
+            .as("bv"))
+        .select(col("vec_id"), col("blk"), col("bv"),
+          expr("aggregate(bv, 0D, (a, x) -> greatest(a, abs(x)))").as("am"))
+        .select(col("vec_id"), col("blk"),
+          round(col("am") * 1000000).cast("long").as("scale_micro"),
+          expr("""array_join(transform(bv,
+                   x -> CAST(CAST(CASE WHEN am = 0D THEN 0
+                                       ELSE round(x * 7 / am) END AS INT) AS STRING)), ',')""")
+            .as("q4"))
+        .orderBy("vec_id", "blk")
     }
   )
 }
