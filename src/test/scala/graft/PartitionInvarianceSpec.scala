@@ -37,7 +37,18 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // its own invariance test in MlQueriesSpec)
                    "ent1_token_entropy", "lr1_quality_logit",
                    "mom1_higher_moments", "mk1_markov_transitions",
-                   "cap1_source_cap")) {
+                   "cap1_source_cap",
+                   // round-10 additions whose algorithms touch
+                   // partitioning or argmax tie-breaks: lp1's sync
+                   // vote argmax (struct-max over keyed counts), fi1's
+                   // capped-collector baskets + TakeOrdered-50, cur1's
+                   // GlobalIds curriculum rank, gini1's GlobalIds rank +
+                   // HUGEINT sums, emb6's integer projection folds, emb7's
+                   // per-block absmax codes, at1's carry-forward window
+                   "lp1_label_propagation", "fi1_frequent_pairs",
+                   "cur1_curriculum_order", "gini1_revenue_concentration",
+                   "emb6_random_projection", "emb7_block_quant",
+                   "at1_last_touch_attribution")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),
