@@ -70,6 +70,17 @@ object AnalyticsQueries {
           .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
     }
 
+  /** Two unrolled HITS rounds from hub₀ = 1 over a bipartite incidence
+    * `(s, p)`: round 1 gives auth₁(p) = degree, hub₁(s) = Σ auth₁ of its
+    * parts; round 2 gives auth₂(p) = Σ hub₁ of its suppliers. All scores
+    * are EXACT integer sums of counts. Returns (p, auth).
+    */
+  def hitsAuthorities(e: DataFrame): DataFrame = {
+    val a1 = e.groupBy("p").agg(count(lit(1)).as("a"))
+    val h1 = e.join(a1, "p").groupBy("s").agg(sum(col("a")).as("h"))
+    e.join(h1, "s").groupBy("p").agg(sum(col("h")).as("auth"))
+  }
+
   /** Synchronous majority-vote label propagation over undirected edges
     * `(a, b)`: `rounds` sync updates of label(v) ← argmax over neighbor
     * labels (max vote count, tie → smallest label). Deterministic by
@@ -260,6 +271,36 @@ object AnalyticsQueries {
         .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
       val e = coPurchaseEdges(base, maxOrderFanout = Some(25)).localCheckpoint()
       labelPropagation(e, rounds = 3).orderBy("node")
+    },
+
+    // ── HUB1: HITS hubs & authorities (Kleinberg 1999) on the BIPARTITE
+    // supplier→part incidence — the mutually-recursive centrality gr1's
+    // damped PageRank isn't (PageRank ranks within one node set; HITS
+    // scores the two sides of an incidence against each other: a part is
+    // authoritative when stocked by good hubs, a supplier a good hub when
+    // it stocks authoritative parts). Two unrolled sync rounds from
+    // hub₀ = 1, kept in EXACT integers — every score is a sum of counts
+    // (magnitude ≤ maxdeg⁴, far inside BIGINT), so there is no float
+    // normalization step to disagree on and the oracle replays the
+    // arithmetic verbatim. Plan: two keyed join+agg rounds over the
+    // distinct incidence (shuffles on s / p only carry the score column),
+    // top-20 via TakeOrderedAndProject — never a global sort.
+    Q("hub1_hits",
+      """WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+        |      FROM lineitem WHERE l_quantity >= 40),
+        |a1 AS (SELECT p, count(*) AS a FROM e GROUP BY 1),
+        |h1 AS (SELECT e.s, CAST(sum(a1.a) AS BIGINT) AS h
+        |       FROM e JOIN a1 USING (p) GROUP BY 1),
+        |a2 AS (SELECT e.p, CAST(sum(h1.h) AS BIGINT) AS auth
+        |       FROM e JOIN h1 USING (s) GROUP BY 1)
+        |SELECT p AS part, auth FROM a2
+        |ORDER BY auth DESC, part LIMIT 20""".stripMargin) { (s, d) =>
+      val e = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct().localCheckpoint()
+      hitsAuthorities(e)
+        .select(col("p").as("part"), col("auth"))
+        .orderBy(col("auth").desc, col("part")).limit(20)
     },
 
     // ── SP4: deterministic weighted sampling without replacement
