@@ -592,6 +592,65 @@ object TextQueries {
         .distinct()
         .filter(col("hamming") <= 3)
         .orderBy("a", "b")
+    },
+
+    // ── DD10: line-level boilerplate removal (CCNet / RefinedWeb style) ────
+    // Document-level dedup (dd1-dd9) keeps or drops WHOLE documents; the
+    // web-corpus pipelines additionally strip repeated LINES (nav bars,
+    // cookie banners, footers) that recur across many otherwise-distinct
+    // pages. Lines here are deterministic 8-word windows (this corpus has
+    // no newlines; the operator shape is identical), and a line is
+    // boilerplate when it appears in >= 3 distinct documents.
+    //
+    // Plan (the 100 TB shape): lines are derived NARROW (split + transform
+    // + posexplode — no shuffle builds them); the frequency table is one
+    // keyed agg on the 16-byte line md5 with map-side partials (never the
+    // line text); the boilerplate subset (by definition the high-frequency
+    // tail) joins back as an equi-join on the md5 that AQE broadcasts when
+    // small; per-doc reassembly is one doc-keyed agg whose collect_list
+    // state is bounded by lines-per-doc. kept_md5 pins the RECONSTRUCTED
+    // kept text (order restored by line_id sort), so a reader that drops
+    // the wrong line, reorders, or re-joins text incorrectly hash-fails.
+    Q("dd10_line_dedup",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\f\r]+') AS toks
+        |           FROM documents),
+        |l AS (SELECT doc_id, r.range AS line_id,
+        |             array_to_string(toks[r.range*8+1 : r.range*8+8], ' ') AS line
+        |      FROM t, range(256) r WHERE r.range <= (len(toks)-1)//8),
+        |hot AS (SELECT md5(line) AS lm FROM l GROUP BY 1
+        |        HAVING count(DISTINCT doc_id) >= 3),
+        |x AS (SELECT l.doc_id, l.line_id, l.line, (hot.lm IS NOT NULL) AS boiler
+        |      FROM l LEFT JOIN hot ON md5(l.line) = hot.lm)
+        |SELECT doc_id, count(*) AS n_lines,
+        |       count(*) FILTER (WHERE boiler) AS n_removed,
+        |       md5(coalesce(string_agg(line, chr(10) ORDER BY line_id)
+        |                      FILTER (WHERE NOT boiler), '')) AS kept_md5
+        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      lineDedup(Tables.documents(s, d)).orderBy("doc_id")
     }
   )
+
+  /** dd10's operator: per-document line table -> global line-frequency ->
+    * boilerplate strip -> per-doc reconstruction digest. Lines are 8-word
+    * windows; boilerplate = line text in >= `minDocs` distinct docs.
+    */
+  def lineDedup(docs: DataFrame, minDocs: Int = 3): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), split(trim(col("text")), "[ \\t\\n\\f\\r]+").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(toks)-1) div 8), " +
+          "i -> array_join(slice(toks, i*8+1, 8), ' '))")).as(Seq("line_id", "line")))
+      .withColumn("lm", md5(col("line")))
+    val hot = lines.groupBy("lm")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("lm"), lit(1).as("boiler"))
+    lines.join(hot, Seq("lm"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("boiler")).as("n_removed"),
+        expr("md5(array_join(transform(array_sort(collect_list(" +
+          "case when boiler is null then struct(line_id, line) end)), " +
+          "x -> x.line), chr(10)))").as("kept_md5"))
+  }
 }
