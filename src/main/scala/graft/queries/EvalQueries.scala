@@ -370,6 +370,104 @@ object EvalQueries {
         .agg(count(lit(1)).as("n_purchases"),
           round(sum(round(col("value") * 100).cast("long")) / 100.0, 2).as("revenue"))
         .orderBy("channel")
+    },
+
+    // ── SC1: per-language Spearman rank correlation (tie-corrected) —
+    // the monotone-association readout behind "does length predict
+    // vocabulary richness?" screens: Pearson's r assumes linearity;
+    // Spearman ranks first, so any monotone relation scores 1. Ties are
+    // handled the textbook way (average ranks), kept EXACT by carrying
+    // 2·avgrank = 2·prev_cumcount + cnt + 1 as an integer (Pearson is
+    // affine-invariant, so correlating the doubled ranks IS correlating
+    // the ranks). Sufficient statistics are ols1's one-pass contract at
+    // rank scale: DECIMAL(38,0)/HUGEINT sums (rank² sums pass 2^63 at
+    // ~sf10 — gini1's overflow contract), then O(groups) double
+    // arithmetic with identical expression shapes in both engines (sqrt
+    // is IEEE correctly-rounded; no other libm call).
+    //
+    // Scale: the corpus reduces to |lang × distinct value| rows FIRST
+    // (keyed agg, map-side combine); the tie-correcting rank windows run
+    // over THAT bounded table, never over documents (auc1's device); the
+    // rank tables broadcast back onto the corpus; stats are one keyed agg.
+    Q("sc1_spearman",
+      """WITH d AS (SELECT doc_id, lang, n_chars AS x,
+        |             len(list_distinct(regexp_split_to_array(trim(text), '[ \t\n\f\r]+'))) AS y
+        |           FROM documents),
+        |cx AS (SELECT lang, x, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2),
+        |rx AS (SELECT lang, x,
+        |         2 * coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY x
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + cnt + 1 AS r2
+        |       FROM cx),
+        |cy AS (SELECT lang, y, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2),
+        |ry AS (SELECT lang, y,
+        |         2 * coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY y
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + cnt + 1 AS r2
+        |       FROM cy),
+        |j AS (SELECT d.lang, rx.r2 AS a, ry.r2 AS b
+        |      FROM d JOIN rx ON rx.lang = d.lang AND rx.x = d.x
+        |             JOIN ry ON ry.lang = d.lang AND ry.y = d.y),
+        |st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(a AS HUGEINT)) AS sa, sum(CAST(b AS HUGEINT)) AS sb,
+        |         sum(CAST(a AS HUGEINT) * a) AS saa,
+        |         sum(CAST(b AS HUGEINT) * b) AS sbb,
+        |         sum(CAST(a AS HUGEINT) * b) AS sab
+        |       FROM j GROUP BY 1)
+        |SELECT lang, n,
+        |       CASE WHEN CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |                   - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+        |              AND CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |                   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+        |            THEN round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        |                         - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |                   / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |                            - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |                        * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |                            - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+        |            ELSE NULL END AS rho
+        |FROM st ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars").as("x"),
+        size(array_distinct(split(trim(col("text")), "[ \\t\\n\\f\\r]+")))
+          .cast("long").as("y"))
+      spearmanByGroup(docs, "lang", "x", "y").orderBy("lang")
     }
   )
+
+  /** sc1's operator: tie-corrected Spearman rho of `xc` vs `yc` within each
+    * `grp`. Doubled average ranks (exact integers) via a prefix window over
+    * the distinct-value table; DECIMAL(38,0) sufficient statistics; one
+    * terminal double expression per group.
+    */
+  def spearmanByGroup(df: DataFrame, grp: String, xc: String, yc: String): DataFrame = {
+    def rank2(vc: String): DataFrame = {
+      val w = Window.partitionBy(grp).orderBy(vc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.groupBy(col(grp), col(vc)).agg(count(lit(1)).as("cnt"))
+        .select(col(grp), col(vc),
+          (lit(2) * coalesce(sum(col("cnt")).over(w), lit(0L))
+            + col("cnt") + 1).as("r2"))
+    }
+    val joined = df
+      .join(broadcast(rank2(xc)).withColumnRenamed("r2", "a"), Seq(grp, xc))
+      .join(broadcast(rank2(yc)).withColumnRenamed("r2", "b"), Seq(grp, yc))
+    val st = joined.groupBy(grp).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("a").cast("decimal(38,0)")).as("sa"),
+      sum(col("b").cast("decimal(38,0)")).as("sb"),
+      // cast BEFORE the multiply (DuckDB's CAST(a AS HUGEINT)*a shape):
+      // doubled ranks reach 2n, so the raw long product would overflow
+      // int64 around 10^9.5 rows — decimal(38,0) products never do
+      sum(col("a").cast("decimal(38,0)") * col("a")).as("saa"),
+      sum(col("b").cast("decimal(38,0)") * col("b")).as("sbb"),
+      sum(col("a").cast("decimal(38,0)") * col("b")).as("sab"))
+    val nD = col("n").cast("double")
+    val da = nD * col("saa").cast("double") - col("sa").cast("double") * col("sa").cast("double")
+    val db = nD * col("sbb").cast("double") - col("sb").cast("double") * col("sb").cast("double")
+    val num = nD * col("sab").cast("double") - col("sa").cast("double") * col("sb").cast("double")
+    st.select(col(grp), col("n"),
+      when(da > 0 && db > 0, round(num / sqrt(da * db), 6))
+        .otherwise(lit(null)).as("rho"))
+  }
 }
