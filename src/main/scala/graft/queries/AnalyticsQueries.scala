@@ -872,6 +872,32 @@ object AnalyticsQueries {
       graft.text.Bpe.trainMerges(vocab, k = 5).orderBy("merge_rank")
     },
 
+    // ── BPE2: tokenizer application — bpe1's trained merges APPLIED: the
+    // symbol table after round k IS the encoded vocabulary (how real
+    // tokenizers encode: merge rules replay against the word list, and
+    // documents inherit by word lookup — the corpus is never re-segmented,
+    // so encoding 100 TB costs one vocab-count scan plus vocab-sized
+    // rounds). Output = each word's token sequence + token count; the
+    // reassembly digest (pos-ordered string_agg vs the collect_list/
+    // array_sort twin) pins greedy-leftmost merge order end to end.
+    Q("bpe2_apply_merges",
+      graft.text.Bpe.encodeSql(
+        """SELECT w AS word, count(*) AS cnt FROM (
+          |  SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) AS w
+          |  FROM documents) WHERE w <> '' GROUP BY 1""".stripMargin,
+        k = 5)) { (s, d) =>
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "[ \\t\\n\\f\\r]+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w").as("word")).agg(count(lit(1)).as("cnt"))
+      graft.text.Bpe.encodeVocab(vocab, k = 5)
+        .groupBy("word", "cnt")
+        .agg(expr("array_join(transform(array_sort(collect_list(" +
+            "struct(pos, sym))), x -> x.sym), ' ')").as("tokens"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("word")
+    },
+
     // ── EMB1: int8 vector quantization — the storage-compression step of
     // an embedding pipeline (4× smaller than float32; the per-vector norm
     // is the dequantization scale). Pure narrow maps, no shuffle: norm =

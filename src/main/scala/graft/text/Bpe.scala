@@ -87,6 +87,21 @@ object Bpe {
     out
   }
 
+  /** Train k merges AND apply every one of them: the symbol table after
+    * round k IS the BPE-encoded vocabulary (this is how real tokenizers
+    * encode — merge rules replay against the word list, and documents
+    * inherit the encoding by word lookup, so the corpus is never
+    * re-segmented). Returns (word, cnt, pos, sym) after all k merges.
+    */
+  def encodeVocab(vocab: DataFrame, k: Int): DataFrame = {
+    var sym = initialSymbols(vocab).localCheckpoint()
+    for (_ <- 1 to k) {
+      val best = bestPair(sym).localCheckpoint()
+      sym = mergeBest(sym, best).localCheckpoint()
+    }
+    sym
+  }
+
   /** DuckDB oracle for [[trainMerges]]: the same rounds unrolled as CTEs —
     * structurally identical windows, so any divergence is a real bug.
     * `vocabSql` must yield (word, cnt).
@@ -99,6 +114,34 @@ object Bpe {
     * localCheckpoint bounds the iterative lineage).
     */
   def unrolledSql(vocabSql: String, k: Int): String = {
+    val (chain, _) = chainSql(vocabSql, k)
+    val sel = (1 to k).map(i =>
+      s"SELECT $i AS merge_rank, x || ' ' || y AS pair, " +
+        s"CAST(pair_cnt AS BIGINT) AS pair_cnt FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""$chain
+       |$sel
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** DuckDB oracle for [[encodeVocab]] + per-word reassembly: the same
+    * unrolled chain, selecting the post-round-k symbol table instead of
+    * the merge list.
+    */
+  def encodeSql(vocabSql: String, k: Int): String = {
+    val (chain, last) = chainSql(vocabSql, k)
+    s"""$chain
+       |SELECT word, CAST(cnt AS BIGINT) AS cnt,
+       |       string_agg(sym, ' ' ORDER BY pos) AS tokens,
+       |       CAST(count(*) AS BIGINT) AS n_tokens
+       |FROM $last GROUP BY word, cnt ORDER BY word""".stripMargin
+  }
+
+  /** Shared unrolled-round WITH-chain: returns (chain SQL ending after
+    * round k's `s{k+1}` CTE, name of that final symbol CTE). Every
+    * per-round CTE is MATERIALIZED — see [[unrolledSql]]'s scaladoc.
+    */
+  private def chainSql(vocabSql: String, k: Int): (String, String) = {
     def round(i: Int): String = {
       val s = s"s$i"
       s"""p$i AS MATERIALIZED (SELECT sym, nxt, sum(cnt) AS pair_cnt FROM (
@@ -129,15 +172,11 @@ object Bpe {
          |                        AND (k.pos = s.pos OR k.pos + 1 = s.pos))))""".stripMargin
     }
     val rounds = (1 to k).map(round).mkString(",\n")
-    val sel = (1 to k).map(i =>
-      s"SELECT $i AS merge_rank, x || ' ' || y AS pair, " +
-        s"CAST(pair_cnt AS BIGINT) AS pair_cnt FROM b$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH v AS ($vocabSql),
-       |s1 AS MATERIALIZED (SELECT word, cnt, i AS pos, word[i] AS sym
-       |       FROM (SELECT word, cnt, unnest(range(1, len(word) + 1)) AS i FROM v)),
-       |$rounds
-       |$sel
-       |ORDER BY merge_rank""".stripMargin
+    val chain =
+      s"""WITH v AS ($vocabSql),
+         |s1 AS MATERIALIZED (SELECT word, cnt, i AS pos, word[i] AS sym
+         |       FROM (SELECT word, cnt, unnest(range(1, len(word) + 1)) AS i FROM v)),
+         |$rounds""".stripMargin
+    (chain, s"s${k + 1}")
   }
 }
