@@ -36,18 +36,22 @@ object TextQueries {
     * `CacheRegistry.evict(session, dir)` to release its entries.
     */
   def shinglesDf(s: SparkSession, d: String): DataFrame =
-    graft.CacheRegistry.memoized(s, d, "shingles") {
-      tokensDf(s, d)
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(toks)-3), " +
-            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
-        .distinct()
-        // one md5 per shingle, materialized with the cache: MinHash carves
-        // its 8 hash families out of its 4-hex chunks and SimHash its 32
-        // bits out of the first 8 digits — md5 runs once, not 9 times
-        .withColumn("m", md5(col("sh")))
-    }
+    graft.CacheRegistry.memoized(s, d, "shingles")(shingleTable(tokensDf(s, d)))
+
+  /** The shingle pipeline itself, over any (doc_id, toks) frame — the
+    * uncached form backing [[shinglesDf]] (specs feed it fixtures).
+    */
+  def shingleTable(toks: DataFrame): DataFrame =
+    toks
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
+      .distinct()
+      // one md5 per shingle, materialized with the cache: MinHash carves
+      // its 8 hash families out of its 4-hex chunks and SimHash its 32
+      // bits out of the first 8 digits — md5 runs once, not 9 times
+      .withColumn("m", md5(col("sh")))
 
   /** Exact pairwise shingle-set Jaccard via inverted-index self-join.
     * Returns (a, b, inter, sza, szb, jaccard) for pairs sharing ≥1 shingle.
@@ -627,8 +631,58 @@ object TextQueries {
         |                      FILTER (WHERE NOT boiler), '')) AS kept_md5
         |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       lineDedup(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // ── NV1: source-novelty audit — which sources contribute UNIQUE
+    // content vs re-serving what other sources already carry. cap1 caps
+    // sources by COUNT; nv1 is the redundancy readout a curation pass
+    // ranks sources by before capping (a source whose shingles all exist
+    // elsewhere can be dropped outright; a high-uniqueness source should
+    // never be capped first). uniq_ppm = unique-shingle fraction in
+    // integer ppm (`div` both engines, zero float risk).
+    //
+    // Plan: rides the memoized shingle cache; one doc_id equi-join
+    // attaches the source, then everything is keyed aggs on the 16-byte
+    // shingle md5 — distinct (source, m), the per-m source count, one
+    // equi-join back, a |sources|-row rollup. No windows, no text shipped
+    // past the first distinct.
+    Q("nv1_source_novelty",
+      """WITH t AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         toks[r.range+1] || ' ' || toks[r.range+2] || ' ' || toks[r.range+3] AS sh
+        |       FROM t, range(1024) r WHERE r.range < len(toks) - 2),
+        |ss AS (SELECT DISTINCT source, md5(sh) AS m FROM sh),
+        |f AS (SELECT m, CAST(count(*) AS BIGINT) AS nsrc FROM ss GROUP BY 1),
+        |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_shingles,
+        |        CAST(count(*) FILTER (WHERE nsrc = 1) AS BIGINT) AS n_unique
+        |      FROM ss JOIN f USING (m) GROUP BY 1)
+        |SELECT g.source, n_docs, n_shingles, n_unique,
+        |       n_unique * 1000000 // n_shingles AS uniq_ppm
+        |FROM g JOIN nd ON nd.source = g.source ORDER BY g.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      sourceNovelty(docs, shinglesDf(s, d)).orderBy("source")
     }
   )
+
+  /** nv1's operator: per-source distinct-shingle uniqueness against the
+    * rest of the corpus. `sh` must carry (doc_id, m) — [[shinglesDf]] in
+    * production, [[shingleTable]] output in specs.
+    */
+  def sourceNovelty(docs: DataFrame, sh: DataFrame): DataFrame = {
+    val ss = sh.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("m")).distinct()
+    val f = ss.groupBy("m").agg(count(lit(1)).as("nsrc"))
+    val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    ss.join(f, "m")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("nsrc") === 1, 1)).as("n_unique"))
+      .join(nd, "source")
+      .select(col("source"), col("n_docs"), col("n_shingles"), col("n_unique"),
+        expr("n_unique * 1000000 div n_shingles").as("uniq_ppm"))
+  }
 
   /** dd10's operator: per-document line table -> global line-frequency ->
     * boilerplate strip -> per-doc reconstruction digest. Lines are 8-word
