@@ -565,6 +565,57 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // ── NV2: novelty curve over training order — does the schedule spread
+    // NEW content evenly, or front-load it? For each distinct shingle,
+    // first_seen = min position under ord1's epoch shuffle; per position
+    // decile: how many shingles appear for the first time, vs total
+    // shingle occurrences streamed (novelty in integer ppm). A good
+    // shuffle decays smoothly; a source-sorted order spikes at source
+    // boundaries — the data-ordering sanity check a training pipeline
+    // runs before burning GPU-hours on a mis-shuffled corpus.
+    //
+    // Plan: ord1's rank (GlobalIds — range repartition + O(P) prefix-sum),
+    // one doc_id equi-join puts positions on the shingle cache, decile =
+    // pos*10 div total (total a 1-row broadcast), then keyed aggs only:
+    // min(pos) per shingle md5, two 10-row rollups, one 10-row join.
+    Q("nv2_novelty_curve",
+      """WITH p AS (SELECT doc_id,
+        |             row_number() OVER (ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |               AS pos
+        |           FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         toks[r.range+1] || ' ' || toks[r.range+2] || ' ' || toks[r.range+3] AS sh
+        |       FROM t, range(1024) r WHERE r.range < len(toks) - 2),
+        |inc AS (SELECT md5(sh.sh) AS m, p.pos, p.pos * 10 // tot.total AS decile
+        |        FROM sh JOIN p USING (doc_id) CROSS JOIN tot),
+        |fs AS (SELECT m, min(pos) AS fp FROM inc GROUP BY 1),
+        |nw AS (SELECT fp * 10 // total AS decile, CAST(count(*) AS BIGINT) AS n_new
+        |       FROM fs CROSS JOIN tot GROUP BY 1),
+        |oc AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_occ FROM inc GROUP BY 1)
+        |SELECT oc.decile, coalesce(n_new, 0) AS n_new, n_occ,
+        |       coalesce(n_new, 0) * 1000000 // n_occ AS novelty_ppm
+        |FROM oc LEFT JOIN nw USING (decile) ORDER BY oc.decile""".stripMargin) { (s, d) =>
+      val pos = graft.operators.EpochShuffle.withPosition(
+        Tables.documents(s, d).select("doc_id"), col("doc_id"), "ep0")
+      val tot = Tables.documents(s, d).agg(count(lit(1)).as("total"))
+      val inc = TextQueries.shinglesDf(s, d).select("doc_id", "m")
+        .join(pos, "doc_id")
+        .crossJoin(broadcast(tot))
+        .select(col("m"), col("pos"), expr("pos * 10 div total").as("decile"))
+      val nw = inc.groupBy("m").agg(min("pos").as("fp"))
+        .crossJoin(broadcast(tot))
+        .groupBy(expr("fp * 10 div total").as("decile"))
+        .agg(count(lit(1)).as("n_new"))
+      val oc = inc.groupBy("decile").agg(count(lit(1)).as("n_occ"))
+      oc.join(nw, Seq("decile"), "left")
+        .select(col("decile"), coalesce(col("n_new"), lit(0L)).as("n_new"),
+          col("n_occ"),
+          expr("coalesce(n_new, 0L) * 1000000 div n_occ").as("novelty_ppm"))
+        .orderBy("decile")
+    },
+
     // ── CUR1: curriculum ordering — the easy→hard schedule of curriculum
     // learning (Bengio et al., ICML'09) composed from house pieces: phase
     // from FIXED difficulty thresholds on length (no quantile pass, no
