@@ -898,6 +898,43 @@ object AnalyticsQueries {
         .orderBy("word")
     },
 
+    // ── TOK1: tokenizer fertility distribution — the evaluation step after
+    // bpe1 (train) and bpe2 (apply): how many tokens does the tokenizer
+    // spend per word, weighted by corpus frequency (word_mass)? The metric
+    // behind "this tokenizer wastes context window on language X". Buckets
+    // by tokens-per-word; mass_ppm (integer ppm via div) gives the
+    // frequency-weighted shape — fertility = Σ n_tokens·mass / Σ mass is
+    // derivable from the rows. All heavy work is the vocab-sized encode
+    // chain; the rollups are |token-count buckets| rows, and the one
+    // unpartitioned window runs over THAT bounded table (≤ max word
+    // length), never data-sized.
+    Q("tok1_fertility", {
+      val enc = graft.text.Bpe.encodeSql(
+        """SELECT w AS word, count(*) AS cnt FROM (
+          |  SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) AS w
+          |  FROM documents) WHERE w <> '' GROUP BY 1""".stripMargin,
+        k = 5)
+      s"""SELECT n_tokens, n_words, word_mass,
+         |       CAST(word_mass * 1000000
+         |            // CAST(sum(word_mass) OVER () AS BIGINT) AS BIGINT) AS mass_ppm
+         |FROM (SELECT n_tokens, CAST(count(*) AS BIGINT) AS n_words,
+         |             CAST(sum(cnt) AS BIGINT) AS word_mass
+         |      FROM ($enc) GROUP BY 1)
+         |ORDER BY n_tokens""".stripMargin
+    }) { (s, d) =>
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "[ \\t\\n\\f\\r]+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w").as("word")).agg(count(lit(1)).as("cnt"))
+      graft.text.Bpe.encodeVocab(vocab, k = 5)
+        .groupBy("word", "cnt").agg(count(lit(1)).as("n_tokens"))
+        .groupBy("n_tokens")
+        .agg(count(lit(1)).as("n_words"), sum("cnt").as("word_mass"))
+        .select(col("n_tokens"), col("n_words"), col("word_mass"),
+          expr("word_mass * 1000000 div sum(word_mass) over ()").as("mass_ppm"))
+        .orderBy("n_tokens")
+    },
+
     // ── EMB1: int8 vector quantization — the storage-compression step of
     // an embedding pipeline (4× smaller than float32; the per-vector norm
     // is the dequantization scale). Pure narrow maps, no shuffle: norm =
