@@ -48,7 +48,15 @@ class PartitionInvarianceSpec extends SparkSpec {
                    "lp1_label_propagation", "fi1_frequent_pairs",
                    "cur1_curriculum_order", "gini1_revenue_concentration",
                    "emb6_random_projection", "emb7_block_quant",
-                   "at1_last_touch_attribution")) {
+                   "at1_last_touch_attribution",
+                   // this session's additions: dd10's collect_list
+                   // reassembly (ordered by array_sort before the digest),
+                   // sc1's decimal(38,0) rank statistics, bpe2/tok1's
+                   // best-pair argmax chain (total order: count desc, then
+                   // pair), nv1/nv2's keyed shingle aggs + GlobalIds decile
+                   "dd10_line_dedup", "sc1_spearman", "bpe2_apply_merges",
+                   "tok1_fertility", "nv1_source_novelty",
+                   "nv2_novelty_curve")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),
