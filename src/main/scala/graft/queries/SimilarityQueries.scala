@@ -684,6 +684,64 @@ object SimilarityQueries {
                                        ELSE round(x * 7 / am) END AS INT) AS STRING)), ',')""")
             .as("q4"))
         .orderBy("vec_id", "blk")
+    },
+
+    // ── NG1: deterministic negative sampling — the contrastive-training
+    // pairing step (each anchor gets a pseudo-random OTHER vector as its
+    // negative) WITHOUT rand() and WITHOUT a cartesian: rank the corpus by
+    // a seeded hash (ord1's shuffle), offset each rank by an independent
+    // hash in [1, n-1], wrap mod n, and equi-join rank to rank. The offset
+    // range excludes 0, so negative != anchor by construction; every
+    // vector is an anchor exactly once, and each pair replays identically
+    // across runs, engines, and partitionings. The cosine travels with the
+    // pair so a trainer can split easy/hard negatives downstream.
+    //
+    // Plan: two GlobalIds-class rank tables (range repartition + O(P)
+    // prefix-sum), one co-partitioned rank equi-join, two vec_id joins to
+    // fetch embeddings, per-row codegen'd cosine. No broadcast of the
+    // corpus, no driver state — at 10^9 vectors this is three keyed
+    // shuffles and a narrow map.
+    Q("ng1_negative_sampling", {
+      val h48 = (0 until 12).map { j =>
+        s"(strpos('0123456789abcdef', substr(md5('ngo:' || CAST(r AS VARCHAR)), ${j + 1}, 1)) - 1) * ${1L << (4 * (11 - j))}"
+      }.mkString("(", "\n + ", ")")
+      s"""WITH p AS (SELECT vec_id,
+         |             row_number() OVER (ORDER BY md5('ng0:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+         |               AS r
+         |           FROM embeddings),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         |o AS (SELECT vec_id AS anchor,
+         |             (r + 1 + ($h48 % (n - 1))) % n AS nr
+         |      FROM p CROSS JOIN tot),
+         |j AS (SELECT o.anchor, p2.vec_id AS negative
+         |      FROM o JOIN p p2 ON p2.r = o.nr),
+         |e AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS v,
+         |         sqrt(array_inner_product(CAST(embedding AS DOUBLE[64]),
+         |                                  CAST(embedding AS DOUBLE[64]))) AS nrm
+         |  FROM embeddings)
+         |SELECT anchor, negative,
+         |       round(array_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 4) AS cos_sim
+         |FROM j JOIN e ea ON ea.vec_id = j.anchor
+         |       JOIN e eb ON eb.vec_id = j.negative
+         |ORDER BY anchor""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val p = graft.operators.EpochShuffle.withPosition(
+        emb.select("vec_id"), col("vec_id"), "ng0", "r")
+      val tot = emb.agg(count(lit(1)).as("n"))
+      val o = p.crossJoin(broadcast(tot)).select(
+        col("vec_id").as("anchor"),
+        expr("(r + 1 + (cast(conv(substring(md5(concat('ngo:', cast(r as string))), 1, 12), 16, 10) as bigint) % (n - 1))) % n")
+          .as("nr"))
+      val pairs = o.join(p.select(col("vec_id").as("negative"), col("r").as("nr")), "nr")
+      pairs
+        .join(emb.select(col("vec_id").as("anchor"), col("embedding").as("ea")), "anchor")
+        .join(emb.select(col("vec_id").as("negative"), col("embedding").as("eb")), "negative")
+        .select(col("anchor"), col("negative"),
+          round(expr("cosine_sim(ea, eb)"), 4).as("cos_sim"))
+        .orderBy("anchor")
     }
   )
 }
