@@ -1076,6 +1076,36 @@ object AnalyticsQueries {
         .orderBy("bucket")
     },
 
+    // ── DQ4: Benford first-digit audit — the fabricated-data screen
+    // (Benford 1938; the standard forensic-accounting test): the first
+    // significant digit of organic monetary amounts follows
+    // P(d) = log10(1 + 1/d); a synthesized or truncated feed deviates.
+    // The expected shares are nine CONSTANTS (hard-coded ppm literals, so
+    // no engine ever calls log10), the observed shares and the chi-square
+    // contribution are pure integer arithmetic (div), and the per-digit
+    // deviation makes the readout actionable (WHICH digit is off, not
+    // just "something is"). One keyed agg to 9 rows + a 9-row window —
+    // the corpus scans once at any scale.
+    Q("dq4_benford",
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |           FROM orders),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |e(digit, exp_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |                             (4, 96910), (5, 79181), (6, 66947),
+        |                             (7, 58004), (8, 51153), (9, 45757)),
+        |t AS (SELECT c.digit, n, CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+        |             CAST(sum(n) OVER () AS BIGINT) AS total
+        |      FROM c JOIN e ON e.digit = c.digit)
+        |SELECT digit, n,
+        |       n * 1000000 // total AS obs_ppm, exp_ppm,
+        |       abs(n * 1000000 // total - exp_ppm) AS dev_ppm,
+        |       CAST(CAST(n - exp_ppm * total // 1000000 AS HUGEINT)
+        |              * (n - exp_ppm * total // 1000000)
+        |              // (exp_ppm * total // 1000000) AS BIGINT) AS chi2
+        |FROM t ORDER BY digit""".stripMargin) { (s, d) =>
+      benfordAudit(Tables.orders(s, d), "o_totalprice").orderBy("digit")
+    },
+
     // ── SCD1: slowly-changing-dimension type-2 history build — the CDC
     // op downstream of m1's upsert: collapse each user's event stream to
     // its event_type TRANSITIONS, each carrying [valid_from, valid_to)
@@ -1227,4 +1257,33 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }
   )
+
+  /** dq4's operator: Benford first-digit audit of a monetary column
+    * (amounts in dollars; first digit taken from exact integer cents).
+    * Expected shares are hard-coded log10(1+1/d) ppm literals — neither
+    * engine calls log10 — and the chi-square contribution squares through
+    * decimal(38,0) (HUGEINT twin) so it never overflows int64.
+    */
+  def benfordAudit(df: DataFrame, amountCol: String): DataFrame = {
+    val s = df.sparkSession
+    val digits = df.select(
+      expr(s"cast(substring(cast(cast(round($amountCol * 100) as bigint) as string), 1, 1) as bigint)")
+        .as("digit"))
+    val c = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+    val e = s.createDataFrame(Seq(
+      (1L, 301030L), (2L, 176091L), (3L, 124939L), (4L, 96910L),
+      (5L, 79181L), (6L, 66947L), (7L, 58004L), (8L, 51153L),
+      (9L, 45757L))).toDF("digit", "exp_ppm")
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c.join(broadcast(e), "digit")
+      .withColumn("total", sum(col("n")).over(w).cast("long"))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div total").as("obs_ppm"), col("exp_ppm"),
+        expr("abs(n * 1000000 div total - exp_ppm)").as("dev_ppm"),
+        // the quotient floors identically in both engines (operands >= 0)
+        expr("""cast(floor(cast(n - exp_ppm * total div 1000000 as decimal(38,0))
+                * (n - exp_ppm * total div 1000000)
+                / (exp_ppm * total div 1000000)) as bigint)""").as("chi2"))
+  }
 }
