@@ -372,6 +372,61 @@ object EvalQueries {
         .orderBy("channel")
     },
 
+    // ── AN1: one-way ANOVA — does order priority move order value? ab1
+    // compares TWO proportions; an1 is the k-group mean comparison
+    // (F = between-group / within-group variance). Sufficient statistics
+    // are ols1's one-pass contract: per group exact n, Σcents (int64) and
+    // Σcents² (decimal(38,0)/HUGEINT — cents² sums pass 2^63 in the first
+    // decade). The ONE float reduction (Σ_g S_g²/n_g) folds over the
+    // group-SORTED list with 0.0 init — Spark `aggregate` ≡ DuckDB
+    // `list_reduce` (first-element init; 0.0+x == x exactly), the emb1
+    // device, so the double sum is bit-identical at any partition count.
+    // Corpus scans once; everything after is O(k) arithmetic on 5 rows.
+    Q("an1_anova",
+      """WITH g AS (SELECT o_orderpriority AS p, CAST(count(*) AS BIGINT) AS n_g,
+        |             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s_g,
+        |             sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+        |                 * CAST(round(o_totalprice * 100) AS BIGINT)) AS q_g
+        |           FROM orders GROUP BY 1),
+        |one AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |               CAST(sum(s_g) AS BIGINT) AS s, CAST(sum(q_g) AS DOUBLE) AS qq,
+        |               list_reduce(
+        |                 list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+        |                        / CAST(n_g AS DOUBLE) ORDER BY p),
+        |                 (a, x) -> a + x) AS t
+        |        FROM g)
+        |SELECT k, n,
+        |       CASE WHEN qq - t > 0
+        |            THEN round(((t - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |                          / CAST(k - 1 AS DOUBLE))
+        |                   / ((qq - t) / CAST(n - k AS DOUBLE)), 6)
+        |            ELSE NULL END AS f_stat
+        |FROM one""".stripMargin) { (s, d) =>
+      val cents = expr("cast(round(o_totalprice * 100) as bigint)")
+      val g = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("p"), cents.as("c"))
+        .groupBy("p")
+        .agg(count(lit(1)).as("n_g"), sum("c").as("s_g"),
+          sum(expr("cast(c as decimal(38,0)) * c")).as("q_g"))
+      val one = g.agg(
+        count(lit(1)).as("k"),
+        sum("n_g").cast("long").as("n"),
+        sum("s_g").cast("long").as("s"),
+        sum("q_g").cast("double").as("qq"),
+        expr("""aggregate(
+                 array_sort(collect_list(named_struct('p', p,
+                   't', cast(s_g as double) * cast(s_g as double) / cast(n_g as double)))),
+                 cast(0.0 as double), (a, x) -> a + x.t)""").as("t"))
+      val kD = col("k").cast("double")
+      val nD = col("n").cast("double")
+      val sD = col("s").cast("double")
+      one.select(col("k"), col("n"),
+        when(col("qq") - col("t") > 0,
+          round(((col("t") - sD * sD / nD) / (kD - 1))
+            / ((col("qq") - col("t")) / (nD - kD)), 6))
+          .otherwise(lit(null)).as("f_stat"))
+    },
+
     // ── SC1: per-language Spearman rank correlation (tie-corrected) —
     // the monotone-association readout behind "does length predict
     // vocabulary richness?" screens: Pearson's r assumes linearity;
