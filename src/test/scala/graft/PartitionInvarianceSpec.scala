@@ -56,7 +56,10 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // pair), nv1/nv2's keyed shingle aggs + GlobalIds decile
                    "dd10_line_dedup", "sc1_spearman", "bpe2_apply_merges",
                    "tok1_fertility", "nv1_source_novelty",
-                   "nv2_novelty_curve")) {
+                   "nv2_novelty_curve",
+                   // ng1's rank-offset pairing, dq4's 9-row window + div
+                   // chain, an1's sorted-list float fold
+                   "ng1_negative_sampling", "dq4_benford", "an1_anova")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),
