@@ -372,6 +372,47 @@ object EvalQueries {
         .orderBy("channel")
     },
 
+    // ── HILL1: Hill tail-index estimator — is the revenue distribution
+    // power-law, and how heavy is the tail? gini1 summarizes inequality in
+    // one number; the Hill estimator α̂ = (k−1) / Σ ln(x_i/x_min) over the
+    // top-k order statistics is the parametric readout capacity planning
+    // and fraud screens use (α ≤ 2 ⇒ infinite variance: plan for whales).
+    // The corpus collapses to per-user cents (one keyed agg), the top
+    // k=200 come from TakeOrderedAndProject on the total (cents desc, usr)
+    // order — map-side partial top-k, never a global sort — and ln runs
+    // ONLY on those 200 exact integers, micro-rounded per value (t11's
+    // contract: round(ln·1e6) as integer, sums exact, the documented
+    // 1-ulp cross-libm risk class) before an O(1) terminal division.
+    Q("hill1_tail_index",
+      """WITH u AS (SELECT o_custkey AS usr,
+        |             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |           FROM orders GROUP BY 1),
+        |top AS (SELECT usr, cents FROM u ORDER BY cents DESC, usr LIMIT 200),
+        |l AS (SELECT usr, cents,
+        |             CAST(round(ln(CAST(cents AS DOUBLE)) * 1000000) AS BIGINT) AS lnm
+        |      FROM top),
+        |m AS (SELECT CAST(min(lnm) AS BIGINT) AS lnmin,
+        |             CAST(min(cents) AS BIGINT) AS xmin_cents,
+        |             CAST(count(*) AS BIGINT) AS k FROM l)
+        |SELECT k, xmin_cents,
+        |       round((CAST(k AS DOUBLE) - 1) * 1000000
+        |             / CAST(sum(lnm - lnmin) AS DOUBLE), 6) AS alpha
+        |FROM l CROSS JOIN m GROUP BY k, xmin_cents, lnmin""".stripMargin) { (s, d) =>
+      val u = Tables.orders(s, d).groupBy(col("o_custkey").as("usr"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+      val top = u.orderBy(col("cents").desc, col("usr")).limit(200)
+        .withColumn("lnm",
+          expr("cast(round(ln(cast(cents as double)) * 1000000) as bigint)"))
+      val m = top.agg(min("lnm").as("lnmin"), min("cents").as("xmin_cents"),
+        count(lit(1)).as("k"))
+      top.crossJoin(broadcast(m))
+        .groupBy("k", "xmin_cents", "lnmin")
+        .agg(sum(col("lnm") - col("lnmin")).as("sd"))
+        .select(col("k"), col("xmin_cents"),
+          round((col("k").cast("double") - 1) * 1000000
+            / col("sd").cast("double"), 6).as("alpha"))
+    },
+
     // ── AN1: one-way ANOVA — does order priority move order value? ab1
     // compares TWO proportions; an1 is the k-group mean comparison
     // (F = between-group / within-group variance). Sufficient statistics
