@@ -372,6 +372,69 @@ object EvalQueries {
         .orderBy("channel")
     },
 
+    // ── CR1: Cramér's V — the categorical-association audit (are lang
+    // and source independent, or does one source feed one language?):
+    // chi-square over the r×c contingency table, normalized to [0,1] by
+    // V = sqrt(chi2 / (n·min(r−1,c−1))) so the strength reads off without
+    // a distribution table. an1 compares group MEANS; cr1 is the
+    // categorical×categorical sibling every dataset profiler ships. The
+    // contingency table is one keyed agg (|lang×source| rows); margins are
+    // two rollups broadcast back; the ONE float reduction (Σ (o−e)²/e over
+    // the cells) folds over the (lang, source)-SORTED list with 0.0 init —
+    // an1's aggregate ≡ list_reduce device — so the double is
+    // bit-identical at any partition count.
+    Q("cr1_cramers_v",
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |           FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM c GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS cl FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |               CAST((SELECT count(*) FROM rt) AS BIGINT) AS nr,
+        |               CAST((SELECT count(*) FROM ct) AS BIGINT) AS nc FROM c),
+        |grid AS (SELECT lang, source, r, cl, coalesce(o, 0) AS o
+        |         FROM rt CROSS JOIN ct LEFT JOIN c USING (lang, source)),
+        |cell AS (SELECT g.lang, g.source,
+        |                (CAST(o AS DOUBLE)
+        |                   - CAST(r AS DOUBLE) * CAST(cl AS DOUBLE) / CAST(n AS DOUBLE))
+        |                * (CAST(o AS DOUBLE)
+        |                   - CAST(r AS DOUBLE) * CAST(cl AS DOUBLE) / CAST(n AS DOUBLE))
+        |                / (CAST(r AS DOUBLE) * CAST(cl AS DOUBLE) / CAST(n AS DOUBLE)) AS t
+        |         FROM grid g CROSS JOIN tot),
+        |chi AS (SELECT list_reduce(list(t ORDER BY lang, source), (a, x) -> a + x) AS chi2
+        |        FROM cell)
+        |SELECT n, nr, nc, round(chi2, 6) AS chi2,
+        |       round(sqrt(chi2 / (CAST(n AS DOUBLE)
+        |                          * CAST(least(nr - 1, nc - 1) AS DOUBLE))), 6) AS v
+        |FROM chi CROSS JOIN tot""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d).groupBy("lang", "source")
+        .agg(count(lit(1)).as("o"))
+      val rt = c.groupBy("lang").agg(sum("o").cast("long").as("r"))
+      val ct = c.groupBy("source").agg(sum("o").cast("long").as("cl"))
+      val tot = c.agg(sum("o").cast("long").as("n")).crossJoin(
+          broadcast(rt.agg(count(lit(1)).as("nr"))))
+        .crossJoin(broadcast(ct.agg(count(lit(1)).as("nc"))))
+      // the FULL r×c grid (margins cross-joined, observed counts left-
+      // joined, absent cells = 0): chi-square must charge empty cells
+      // their full (0−e)²/e — summing only observed cells understates
+      // dependence (a perfectly-dependent 2×2 would score V=0.707, not 1)
+      val cell = rt.crossJoin(ct)
+        .join(c, Seq("lang", "source"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n"), col("nr"), col("nc"),
+          expr("""(cast(o as double) - cast(r as double) * cast(cl as double) / cast(n as double))
+                  * (cast(o as double) - cast(r as double) * cast(cl as double) / cast(n as double))
+                  / (cast(r as double) * cast(cl as double) / cast(n as double))""").as("t"))
+      cell.groupBy("n", "nr", "nc")
+        .agg(expr("""aggregate(
+               array_sort(collect_list(named_struct('l', lang, 's', source, 't', t))),
+               cast(0.0 as double), (a, x) -> a + x.t)""").as("chi2"))
+        .select(col("n"), col("nr"), col("nc"),
+          round(col("chi2"), 6).as("chi2"),
+          round(sqrt(col("chi2") / (col("n").cast("double")
+            * least(col("nr") - 1, col("nc") - 1).cast("double"))), 6).as("v"))
+    },
+
     // ── HILL1: Hill tail-index estimator — is the revenue distribution
     // power-law, and how heavy is the tail? gini1 summarizes inequality in
     // one number; the Hill estimator α̂ = (k−1) / Σ ln(x_i/x_min) over the
