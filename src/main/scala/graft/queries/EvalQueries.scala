@@ -372,6 +372,54 @@ object EvalQueries {
         .orderBy("channel")
     },
 
+    // ── SES1: exponential smoothing (EWMA) of the daily revenue series —
+    // the forecasting/monitoring primitive between cp1's changepoint alarm
+    // and ad1's per-day z-test: S_t = α·x_t + (1−α)·S_{t−1}. With α = 1/2
+    // the recursion is EXACT INTEGER arithmetic end to end: scale by
+    // 2^(t−1) and it collapses to a plain prefix sum of y_i = x_1 (i=1),
+    // x_i·2^(i−2) (i≥2) — U_t = Σ y_i, S_t = U_t div 2^(t−1) — so a
+    // sequential recurrence that "can't" be declarative becomes ONE window
+    // over the |days| series, with no float anywhere (the cp1 closed-form
+    // lesson applied to smoothing). The shifted terms pass 2^63 (2^28 ×
+    // daily cents), so y accumulates as decimal(38,0)/HUGEINT. Corpus
+    // scans once into the day-grain pre-agg; everything after is 30 rows.
+    Q("ses1_exp_smoothing",
+      """WITH dc AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+        |                            '%Y-%m-%d') AS day,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT day, cents,
+        |             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t FROM dc),
+        |y AS (SELECT day, cents, t,
+        |             CASE WHEN t = 1 THEN CAST(cents AS HUGEINT)
+        |                  ELSE CAST(cents AS HUGEINT) * (CAST(1 AS HUGEINT) << (t - 2))
+        |             END AS yt
+        |      FROM r),
+        |u AS (SELECT day, cents, t, sum(yt) OVER (ORDER BY t) AS ut FROM y)
+        |SELECT day, cents,
+        |       CAST(ut // (CAST(1 AS HUGEINT) << (t - 1)) AS BIGINT) AS smoothed_cents
+        |FROM u ORDER BY day""".stripMargin) { (s, d) =>
+      val dc = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      val wd = Window.orderBy("day")
+      val r = dc.withColumn("t", row_number().over(wd).cast("long"))
+      val y = r.withColumn("yt",
+        when(col("t") === 1, col("cents").cast("decimal(38,0)"))
+          .otherwise(col("cents").cast("decimal(38,0)")
+            * expr("shiftleft(1L, cast(t - 2 as int))")))
+      val u = y.withColumn("ut",
+        sum(col("yt")).over(Window.orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      u.select(col("day"), col("cents"),
+          // integral `div` on decimals — NOT `/`+floor, whose decimal
+          // quotient rounds to 6dp first and can carry past the floor
+          // boundary (k/2^30 fractions get within 1e-9 of 1)
+          expr("cast(ut div cast(shiftleft(1L, cast(t - 1 as int)) as decimal(38,0)) as bigint)")
+            .as("smoothed_cents"))
+        .orderBy("day")
+    },
+
     // ── CR1: Cramér's V — the categorical-association audit (are lang
     // and source independent, or does one source feed one language?):
     // chi-square over the r×c contingency table, normalized to [0,1] by

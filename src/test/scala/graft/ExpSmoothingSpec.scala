@@ -1,0 +1,44 @@
+package graft
+
+/** ses1's closed form must equal the literal recursion
+  * S_t = (x_t + S_{t-1}) / 2 computed exactly (floor at the end only) —
+  * proved here by folding the recursion in BigInt against the query's
+  * output on testdata, plus the constant-series fixpoint property.
+  */
+class ExpSmoothingSpec extends SparkSpec {
+
+  test("prefix-sum closed form equals the literal recursion on testdata") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("ses1_exp_smoothing")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // literal recursion carried as an exact rational with power-of-two
+    // denominator: S_t = U_t / 2^(t-1), U_t = 2^(t-2)*x_t + U_{t-1}
+    var u = BigInt(0)
+    rows.sortBy(_._1).zipWithIndex.foreach { case ((day, cents, smoothed), i) =>
+      val t = i + 1
+      u += (if (t == 1) BigInt(cents) else BigInt(cents) << (t - 2))
+      val expect = (u >> (t - 1)).toLong
+      assert(smoothed == expect, s"$day: got $smoothed, recursion says $expect")
+    }
+    // smoothing lags: the smoothed series must not equal the raw series
+    assert(rows.exists(r => r._2 != r._3), "EWMA should differ from raw days")
+  }
+
+  test("a constant series is a fixpoint (S_t = x for all t)") {
+    // U_t for constant x: x + x*sum(2^(i-2)) = x*(1 + 2^(t-1) - 1) = x*2^(t-1)
+    // so S_t = x exactly; verified via the same BigInt fold
+    var u = BigInt(0)
+    (1 to 40).foreach { t =>
+      u += (if (t == 1) BigInt(12345) else BigInt(12345) << (t - 2))
+      assert((u >> (t - 1)) == BigInt(12345), s"t=$t drifted")
+    }
+  }
+
+  test("ses1 on testdata is deterministic across runs") {
+    val sf = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("ses1_exp_smoothing")(spark, sf)
+    val b = SparkEntry.queries("ses1_exp_smoothing")(spark, sf)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
