@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
@@ -886,11 +887,7 @@ object AnalyticsQueries {
           |  SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\f\r]+')) AS w
           |  FROM documents) WHERE w <> '' GROUP BY 1""".stripMargin,
         k = 5)) { (s, d) =>
-      val vocab = Tables.documents(s, d)
-        .select(explode(split(trim(col("text")), "[ \\t\\n\\f\\r]+")).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy(col("w").as("word")).agg(count(lit(1)).as("cnt"))
-      graft.text.Bpe.encodeVocab(vocab, k = 5)
+      encodedVocabDf(s, d)
         .groupBy("word", "cnt")
         .agg(expr("array_join(transform(array_sort(collect_list(" +
             "struct(pos, sym))), x -> x.sym), ' ')").as("tokens"),
@@ -922,11 +919,7 @@ object AnalyticsQueries {
          |      FROM ($enc) GROUP BY 1)
          |ORDER BY n_tokens""".stripMargin
     }) { (s, d) =>
-      val vocab = Tables.documents(s, d)
-        .select(explode(split(trim(col("text")), "[ \\t\\n\\f\\r]+")).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy(col("w").as("word")).agg(count(lit(1)).as("cnt"))
-      graft.text.Bpe.encodeVocab(vocab, k = 5)
+      encodedVocabDf(s, d)
         .groupBy("word", "cnt").agg(count(lit(1)).as("n_tokens"))
         .groupBy("n_tokens")
         .agg(count(lit(1)).as("n_words"), sum("cnt").as("word_mass"))
@@ -1257,6 +1250,20 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }
   )
+
+  /** BPE-encoded corpus vocabulary (5 merges), memoized per (session, dir)
+    * like the shingle cache: bpe2 and tok1 both consume the same 5-round
+    * merge chain, so the chain runs once per dataset, not once per query.
+    * Correctness never depends on the memo — a dropped entry rebuilds.
+    */
+  private def encodedVocabDf(s: SparkSession, d: String): DataFrame =
+    graft.CacheRegistry.memoized(s, d, "bpe-encoded") {
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "[ \\t\\n\\f\\r]+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w").as("word")).agg(count(lit(1)).as("cnt"))
+      graft.text.Bpe.encodeVocab(vocab, k = 5)
+    }
 
   /** dq4's operator: Benford first-digit audit of a monetary column
     * (amounts in dollars; first digit taken from exact integer cents).

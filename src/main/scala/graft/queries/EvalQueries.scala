@@ -372,6 +372,54 @@ object EvalQueries {
         .orderBy("channel")
     },
 
+    // ── AMS1: second frequency moment (self-join size) via the AMS
+    // Tug-of-War sketch (Alon-Matias-Szegedy 1996) — the third classic
+    // sketch family next to agg4's HLL (F0), agg8's CMS (point queries),
+    // and agg9's KMV (intersections): F2 = Σ f(k)² is the self-join
+    // cardinality an optimizer estimates before picking a join order.
+    // Exact F2 travels alongside (the agg4/agg8 exact-companion contract);
+    // the sketch is 64 counters z_j = Σ f(k)·σ_j(k) with σ_j = ±1 from
+    // md5(j:k) first-nibble parity — deterministic in both engines, no
+    // rand() — and est = (Σ z_j²) div 64 (unbiased mean-of-64), all exact
+    // integers via decimal(38,0)/HUGEINT. bound_ok asserts est within 2×
+    // of exact (the estimator's relative σ is sqrt(2/64) ≈ 18%, so 2× is
+    // a ≥5σ envelope). Plan: ONE keyed agg to the frequency table, a
+    // narrow ×64 sketch-row explode over THAT (|keys| rows, not the
+    // corpus), one 64-row rollup — sketch counters are exactly how
+    // per-partition partials merge on a cluster (addition commutes).
+    Q("ams1_second_moment",
+      """WITH f AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS fk
+        |           FROM lineitem GROUP BY 1),
+        |c AS (SELECT j.range AS j,
+        |             CAST(sum(fk * (1 - 2 * ((strpos('0123456789abcdef',
+        |                     substr(md5(CAST(j.range AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 1))
+        |                   - 1) % 2))) AS HUGEINT) AS z
+        |      FROM f CROSS JOIN range(64) j GROUP BY 1),
+        |e AS (SELECT CAST(sum(z * z) // 64 AS BIGINT) AS f2_est FROM c),
+        |x AS (SELECT CAST(sum(CAST(fk AS HUGEINT) * fk) AS BIGINT) AS f2_exact FROM f)
+        |SELECT f2_exact, f2_est,
+        |       CAST(f2_est * 2 >= f2_exact AND f2_est <= f2_exact * 2 AS INT) AS bound_ok
+        |FROM x CROSS JOIN e""".stripMargin) { (s, d) =>
+      val f = Tables.lineitem(s, d).groupBy(col("l_partkey").as("k"))
+        .agg(count(lit(1)).as("fk"))
+      val c = f.select(col("k"), col("fk"),
+          explode(expr("sequence(0, 63)")).as("j"))
+        .select(col("j"),
+          (col("fk") * (lit(1) - lit(2) *
+            expr("cast(conv(substring(md5(concat(cast(j as string), ':', cast(k as string))), 1, 1), 16, 10) as bigint) % 2"))
+          ).as("contrib"))
+        // cast BEFORE the sum: Σ contrib is bounded by n, past int64 at
+        // extreme row counts, and Spark long sums wrap silently
+        .groupBy("j").agg(sum(col("contrib").cast("decimal(38,0)")).as("z"))
+      val e = c.agg(expr("cast(sum(z * z) div 64 as bigint)").as("f2_est"))
+      val x = f.agg(expr("cast(sum(cast(fk as decimal(38,0)) * fk) as bigint)")
+        .as("f2_exact"))
+      x.crossJoin(broadcast(e))
+        .select(col("f2_exact"), col("f2_est"),
+          (col("f2_est") * 2 >= col("f2_exact") &&
+            col("f2_est") <= col("f2_exact") * 2).cast("int").as("bound_ok"))
+    },
+
     // ── SES1: exponential smoothing (EWMA) of the daily revenue series —
     // the forecasting/monitoring primitive between cp1's changepoint alarm
     // and ad1's per-day z-test: S_t = α·x_t + (1−α)·S_{t−1}. With α = 1/2

@@ -60,7 +60,8 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // ng1's rank-offset pairing, dq4's 9-row window + div
                    // chain, an1's sorted-list float fold
                    "ng1_negative_sampling", "dq4_benford", "an1_anova",
-                   "hill1_tail_index", "cr1_cramers_v", "ses1_exp_smoothing")) {
+                   "hill1_tail_index", "cr1_cramers_v", "ses1_exp_smoothing",
+                   "ams1_second_moment")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),
