@@ -387,34 +387,54 @@ object EvalQueries {
     // narrow ×64 sketch-row explode over THAT (|keys| rows, not the
     // corpus), one 64-row rollup — sketch counters are exactly how
     // per-partition partials merge on a cluster (addition commutes).
-    Q("ams1_second_moment",
-      """WITH f AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS fk
-        |           FROM lineitem GROUP BY 1),
-        |c AS (SELECT j.range AS j,
-        |             CAST(sum(fk * (1 - 2 * ((strpos('0123456789abcdef',
-        |                     substr(md5(CAST(j.range AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 1))
-        |                   - 1) % 2))) AS HUGEINT) AS z
-        |      FROM f CROSS JOIN range(64) j GROUP BY 1),
-        |e AS (SELECT CAST(sum(z * z) // 64 AS BIGINT) AS f2_est FROM c),
-        |x AS (SELECT CAST(sum(CAST(fk AS HUGEINT) * fk) AS BIGINT) AS f2_exact FROM f)
-        |SELECT f2_exact, f2_est,
-        |       CAST(f2_est * 2 >= f2_exact AND f2_est <= f2_exact * 2 AS INT) AS bound_ok
-        |FROM x CROSS JOIN e""".stripMargin) { (s, d) =>
+    Q("ams1_second_moment", {
+      // b1/b2 = the md5's first/second 8 hex digits as 32-bit words — ONE
+      // md5 per key supplies all 64 sign bits (dd4's SimHash device: the
+      // per-digit strpos arithmetic here equals Spark's conv(substr))
+      def word(off: Int): String = (1 to 8).map { i =>
+        s"(strpos('0123456789abcdef', substr(h, ${off + i}, 1)) - 1) * ${1L << (4 * (8 - i))}"
+      }.mkString("(", " + ", ")")
+      s"""WITH f AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS fk,
+         |             md5(CAST(l_partkey AS VARCHAR)) AS h
+         |           FROM lineitem GROUP BY 1),
+         |fb AS (SELECT k, fk, ${word(0)} AS b1, ${word(8)} AS b2 FROM f),
+         |c AS (SELECT
+         |${(0 until 64).map { j =>
+             val bit = if (j < 32) s"(b1 // (CAST(1 AS BIGINT) << $j)) % 2"
+                       else s"(b2 // (CAST(1 AS BIGINT) << ${j - 32})) % 2"
+             s"  CAST(sum(fk * (1 - 2 * ($bit))) AS HUGEINT) AS z$j"
+           }.mkString(",\n")},
+         |  CAST(sum(CAST(fk AS HUGEINT) * fk) AS BIGINT) AS f2_exact
+         |FROM fb),
+         |e AS (SELECT f2_exact,
+         |        CAST((${(0 until 64).map(j => s"z$j * z$j").mkString(" + ")}) // 64
+         |          AS BIGINT) AS f2_est
+         |      FROM c)
+         |SELECT f2_exact, f2_est,
+         |       CAST(f2_est * 2 >= f2_exact AND f2_est <= f2_exact * 2 AS INT) AS bound_ok
+         |FROM e""".stripMargin
+    }) { (s, d) =>
       val f = Tables.lineitem(s, d).groupBy(col("l_partkey").as("k"))
         .agg(count(lit(1)).as("fk"))
-      val c = f.select(col("k"), col("fk"),
-          explode(expr("sequence(0, 63)")).as("j"))
-        .select(col("j"),
-          (col("fk") * (lit(1) - lit(2) *
-            expr("cast(conv(substring(md5(concat(cast(j as string), ':', cast(k as string))), 1, 1), 16, 10) as bigint) % 2"))
-          ).as("contrib"))
-        // cast BEFORE the sum: Σ contrib is bounded by n, past int64 at
-        // extreme row counts, and Spark long sums wrap silently
-        .groupBy("j").agg(sum(col("contrib").cast("decimal(38,0)")).as("z"))
-      val e = c.agg(expr("cast(sum(z * z) div 64 as bigint)").as("f2_est"))
-      val x = f.agg(expr("cast(sum(cast(fk as decimal(38,0)) * fk) as bigint)")
-        .as("f2_exact"))
-      x.crossJoin(broadcast(e))
+        .withColumn("h", md5(col("k").cast("string")))
+        .withColumn("b1", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+        .withColumn("b2", conv(substring(col("h"), 9, 8), 16, 10).cast("long"))
+      // 64 sketch counters as 64 AGGREGATE COLUMNS of one pass — no ×64
+      // row explode, no 64-group shuffle; partials combine map-side, which
+      // is also exactly how the counters merge across cluster partitions.
+      // cast BEFORE the sum: Σ contrib is bounded by n, past int64 at
+      // extreme row counts, and Spark long sums wrap silently.
+      val zCols = (0 until 64).map { j =>
+        val bit = if (j < 32) s"shiftright(b1, $j) % 2"
+                  else s"shiftright(b2, ${j - 32}) % 2"
+        sum(expr(s"cast(fk * (1 - 2 * ($bit)) as decimal(38,0))")).as(s"z$j")
+      }
+      val exact = expr("cast(sum(cast(fk as decimal(38,0)) * fk) as bigint)")
+        .as("f2_exact")
+      f.agg(zCols.head, (zCols.tail :+ exact): _*)
+        .select(col("f2_exact"),
+          expr(s"cast((${(0 until 64).map(j => s"z$j * z$j").mkString(" + ")}) div 64 as bigint)")
+            .as("f2_est"))
         .select(col("f2_exact"), col("f2_est"),
           (col("f2_est") * 2 >= col("f2_exact") &&
             col("f2_est") <= col("f2_exact") * 2).cast("int").as("bound_ok"))
