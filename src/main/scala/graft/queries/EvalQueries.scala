@@ -372,6 +372,55 @@ object EvalQueries {
         .orderBy("channel")
     },
 
+    // ── RK1: top-k rank churn — who entered, exited, and moved in the
+    // top-20 revenue leaderboard between two periods (the dashboard diff
+    // behind every "movers and shakers" panel; tr1 diffs SNAPSHOT rows,
+    // rk1 diffs RANKINGS). One corpus scan produces both periods' exact
+    // cent totals (conditional aggregation, no second pass); each period's
+    // top-20 is a TakeOrderedAndProject over the supplier dim (map-side
+    // partial top-k, never a global sort); ranks are windows over those
+    // 20-row tables; the FULL OUTER join classifies entered/exited/held.
+    // Total order everywhere: (cents desc, suppkey).
+    Q("rk1_rank_churn",
+      """WITH r AS (SELECT l_suppkey AS sk,
+        |             CAST(sum(CASE WHEN l_shipdate < DATE '1998-01-01'
+        |               THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS ca,
+        |             CAST(sum(CASE WHEN l_shipdate >= DATE '1998-01-01'
+        |               THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cb
+        |           FROM lineitem GROUP BY 1),
+        |ta AS (SELECT sk, ca, CAST(row_number() OVER (ORDER BY ca DESC, sk) AS BIGINT) AS ra
+        |       FROM (SELECT sk, ca FROM r ORDER BY ca DESC, sk LIMIT 20)),
+        |tb AS (SELECT sk, cb, CAST(row_number() OVER (ORDER BY cb DESC, sk) AS BIGINT) AS rb
+        |       FROM (SELECT sk, cb FROM r ORDER BY cb DESC, sk LIMIT 20))
+        |SELECT coalesce(ta.sk, tb.sk) AS suppkey, ra, rb,
+        |       CASE WHEN ra IS NULL THEN 'entered'
+        |            WHEN rb IS NULL THEN 'exited'
+        |            WHEN ra = rb THEN 'held' ELSE 'moved' END AS status
+        |FROM ta FULL OUTER JOIN tb ON ta.sk = tb.sk
+        |ORDER BY coalesce(ra, 99), coalesce(rb, 99), suppkey""".stripMargin) { (s, d) =>
+      val r = Tables.lineitem(s, d).groupBy(col("l_suppkey").as("sk"))
+        .agg(
+          sum(expr("case when l_shipdate < date'1998-01-01' " +
+            "then cast(round(l_extendedprice * 100) as bigint) else 0L end")).as("ca"),
+          sum(expr("case when l_shipdate >= date'1998-01-01' " +
+            "then cast(round(l_extendedprice * 100) as bigint) else 0L end")).as("cb"))
+      def top(c: String, rk: String) = r
+        .orderBy(col(c).desc, col("sk")).limit(20)
+        .withColumn(rk,
+          row_number().over(Window.orderBy(col(c).desc, col("sk"))).cast("long"))
+      val ta = top("ca", "ra").select(col("sk").as("ska"), col("ra"))
+      val tb = top("cb", "rb").select(col("sk").as("skb"), col("rb"))
+      ta.join(tb, col("ska") === col("skb"), "full_outer")
+        .select(coalesce(col("ska"), col("skb")).as("suppkey"),
+          col("ra"), col("rb"),
+          when(col("ra").isNull, "entered")
+            .when(col("rb").isNull, "exited")
+            .when(col("ra") === col("rb"), "held")
+            .otherwise("moved").as("status"))
+        .orderBy(coalesce(col("ra"), lit(99L)), coalesce(col("rb"), lit(99L)),
+          col("suppkey"))
+    },
+
     // ── AMS1: second frequency moment (self-join size) via the AMS
     // Tug-of-War sketch (Alon-Matias-Szegedy 1996) — the third classic
     // sketch family next to agg4's HLL (F0), agg8's CMS (point queries),
