@@ -372,6 +372,68 @@ object EvalQueries {
         .orderBy("channel")
     },
 
+    // ── MC1: rolling correlation between two operational series — do
+    // errors move with revenue? (the metric-coupling monitor behind
+    // "are these two dashboards the same incident"): 7-day windowed
+    // Pearson over the daily (revenue cents, error count) series. All
+    // window aggregates are EXACT integer sums (products decimal-cast
+    // before summing — daily-cents × daily-count products pass int64 on
+    // big days); each day then runs ONE double expression with sc1's
+    // shapes, zero-variance windows guard to NULL. The corpus collapses
+    // to the |days| series first (two keyed aggs joined on day), so every
+    // window runs over ~30 rows at any corpus size.
+    Q("mc1_rolling_corr",
+      """WITH dr AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+        |              CAST(sum(CASE WHEN event_type = 'purchase'
+        |                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |              CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS y
+        |            FROM events GROUP BY 1),
+        |w AS (SELECT day, x, y,
+        |        CAST(count(*) OVER win AS BIGINT) AS n,
+        |        CAST(sum(x) OVER win AS BIGINT) AS sx,
+        |        CAST(sum(y) OVER win AS BIGINT) AS sy,
+        |        sum(CAST(x AS HUGEINT) * x) OVER win AS sxx,
+        |        sum(CAST(y AS HUGEINT) * y) OVER win AS syy,
+        |        sum(CAST(x AS HUGEINT) * y) OVER win AS sxy
+        |      FROM dr
+        |      WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, n,
+        |       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |              AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |            ELSE NULL END AS corr
+        |FROM w ORDER BY day""".stripMargin) { (s, d) =>
+      val dr = Tables.events(s, d)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(
+          sum(expr("case when event_type = 'purchase' " +
+            "then cast(round(value * 100) as bigint) else 0L end")).as("x"),
+          count(when(col("event_type") === "error", 1)).as("y"))
+      val win = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      val w = dr.select(col("day"),
+        count(lit(1)).over(win).cast("long").as("n"),
+        sum("x").over(win).cast("long").as("sx"),
+        sum("y").over(win).cast("long").as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).over(win).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * y")).over(win).as("syy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).over(win).as("sxy"))
+      val nD = col("n").cast("double")
+      val da = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+      val db = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+      val num = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+      w.select(col("day"), col("n"),
+          when(da > 0 && db > 0, round(num / sqrt(da * db), 6))
+            .otherwise(lit(null)).as("corr"))
+        .orderBy("day")
+    },
+
     // ── RK1: top-k rank churn — who entered, exited, and moved in the
     // top-20 revenue leaderboard between two periods (the dashboard diff
     // behind every "movers and shakers" panel; tr1 diffs SNAPSHOT rows,
