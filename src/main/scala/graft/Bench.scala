@@ -57,7 +57,7 @@ object Bench {
     // them to whichever consumer runs first made per-query dedup times
     // non-reproducible across same-HEAD runs (dd6: 2.2 s vs 11.6 s).
     if (only.isEmpty || selected.exists(q => q._1.startsWith("dd") ||
-        q._1.startsWith("ct")))
+        q._1.startsWith("ct") || q._1.startsWith("nv")))
       graft.queries.TextQueries.prewarmSharedStages(spark, sfDir)
 
     // (name, seconds, succeeded): a query that throws records -1 in the
