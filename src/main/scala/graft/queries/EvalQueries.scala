@@ -372,6 +372,62 @@ object EvalQueries {
         .orderBy("channel")
     },
 
+    // ── SEG1: RFM segmentation — the canonical customer-value cube
+    // (recency / frequency / monetary) every growth dashboard starts
+    // from. Scores use FIXED integer thresholds (cur1's no-quantile-pass
+    // device: ntile would global-sort every user on one reducer at
+    // 100 TB and make each user's segment depend on every other user);
+    // recency anchors to the corpus max event time (1-row broadcast), so
+    // the whole op is one user-keyed agg + O(1) integer scoring + a
+    // ≤125-row segment rollup with exact cent sums.
+    Q("seg1_rfm_segments",
+      """WITH p AS (SELECT user_id,
+        |             max(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |                           CAST(ts AS TIMESTAMP))) AS last_s,
+        |             CAST(count(*) AS BIGINT) AS f,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |nowt AS (SELECT max(last_s) AS now_s FROM p),
+        |s AS (SELECT user_id, f, cents,
+        |             (now_s - last_s) // 86400 AS rdays
+        |      FROM p CROSS JOIN nowt),
+        |sc AS (SELECT user_id, cents,
+        |         CASE WHEN rdays < 3 THEN 5 WHEN rdays < 7 THEN 4
+        |              WHEN rdays < 14 THEN 3 WHEN rdays < 21 THEN 2 ELSE 1 END AS r,
+        |         CASE WHEN f >= 8 THEN 5 WHEN f >= 5 THEN 4
+        |              WHEN f >= 3 THEN 3 WHEN f >= 2 THEN 2 ELSE 1 END AS fs,
+        |         CASE WHEN cents >= 200000 THEN 5 WHEN cents >= 100000 THEN 4
+        |              WHEN cents >= 50000 THEN 3 WHEN cents >= 20000 THEN 2
+        |              ELSE 1 END AS m
+        |       FROM s)
+        |SELECT CAST(r * 100 + fs * 10 + m AS BIGINT) AS rfm,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM sc GROUP BY 1 ORDER BY rfm""".stripMargin) { (s, d) =>
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max(unix_timestamp(col("ts"))).as("last_s"),
+          count(lit(1)).as("f"),
+          sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      val now = p.agg(max("last_s").as("now_s"))
+      p.crossJoin(broadcast(now))
+        .select(col("f"), col("cents"),
+          expr("(now_s - last_s) div 86400").as("rdays"))
+        .select(col("cents"),
+          when(col("rdays") < 3, 5).when(col("rdays") < 7, 4)
+            .when(col("rdays") < 14, 3).when(col("rdays") < 21, 2)
+            .otherwise(1).as("r"),
+          when(col("f") >= 8, 5).when(col("f") >= 5, 4)
+            .when(col("f") >= 3, 3).when(col("f") >= 2, 2)
+            .otherwise(1).as("fs"),
+          when(col("cents") >= 200000, 5).when(col("cents") >= 100000, 4)
+            .when(col("cents") >= 50000, 3).when(col("cents") >= 20000, 2)
+            .otherwise(1).as("m"))
+        .groupBy((col("r") * 100 + col("fs") * 10 + col("m")).cast("long").as("rfm"))
+        .agg(count(lit(1)).as("n_users"), sum("cents").cast("long").as("total_cents"))
+        .orderBy("rfm")
+    },
+
     // ── MC1: rolling correlation between two operational series — do
     // errors move with revenue? (the metric-coupling monitor behind
     // "are these two dashboards the same incident"): 7-day windowed
