@@ -372,6 +372,44 @@ object EvalQueries {
         .orderBy("channel")
     },
 
+    // ── LTV1: cohort lifetime-value curve — co1 counts RETAINED USERS per
+    // cohort age; ltv1 adds the money dimension growth teams actually
+    // plan against: cumulative exact revenue cents per weekly cohort as
+    // it ages. Weeks are integer epoch-weeks (unix seconds div 604800 —
+    // no calendar library on either engine), the cumulative window runs
+    // over the |cohorts × ages| grid (bounded at any corpus size), and
+    // everything upstream is two keyed aggs joined on user.
+    Q("ltv1_cohort_ltv",
+      """WITH p AS (SELECT user_id,
+        |             date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |                       CAST(ts AS TIMESTAMP)) // 604800 AS wk,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM p GROUP BY 1),
+        |g AS (SELECT cohort_wk, p.wk - cohort_wk AS age_weeks,
+        |             CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+        |             CAST(sum(cents) AS BIGINT) AS cents
+        |      FROM p JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_wk, age_weeks, n_users, cents,
+        |       CAST(sum(cents) OVER (PARTITION BY cohort_wk ORDER BY age_weeks)
+        |         AS BIGINT) AS cum_cents
+        |FROM g ORDER BY cohort_wk, age_weeks""".stripMargin) { (s, d) =>
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("unix_timestamp(ts) div 604800").as("wk"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val c = p.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val g = p.join(c, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_weeks"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          sum("cents").cast("long").as("cents"))
+      val w = Window.partitionBy("cohort_wk").orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("cohort_wk"), col("age_weeks"), col("n_users"), col("cents"),
+          sum("cents").over(w).cast("long").as("cum_cents"))
+        .orderBy("cohort_wk", "age_weeks")
+    },
+
     // ── SEG1: RFM segmentation — the canonical customer-value cube
     // (recency / frequency / monetary) every growth dashboard starts
     // from. Scores use FIXED integer thresholds (cur1's no-quantile-pass
