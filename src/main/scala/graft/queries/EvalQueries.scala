@@ -372,6 +372,45 @@ object EvalQueries {
         .orderBy("channel")
     },
 
+    // ── PF1: Pareto frontier (skyline) — the multi-objective operator
+    // (Börzsönyi et al. ICDE'01): which suppliers are non-dominated on
+    // (total cost minimized, total quantity maximized)? A supplier is
+    // dominated iff some other is no-worse on both axes and strictly
+    // better on one. The naive form is the quadratic all-pairs NOT
+    // EXISTS; the 2-D skyline collapses to TWO window functions over the
+    // (cents asc) order — running max quantity over STRICTLY cheaper rows
+    // (RANGE .. 1 PRECEDING, w5's numeric-range frame) plus the same-cost
+    // group max — so the op is linear in the dim. The corpus reduces to
+    // the supplier dim in ONE keyed agg (exact integer cents/units), and
+    // the windows run over that bounded table, never over rows.
+    Q("pf1_pareto_frontier",
+      """WITH s AS (SELECT l_suppkey AS sk,
+        |             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |           FROM lineitem GROUP BY 1),
+        |w AS (SELECT sk, cents, qty,
+        |        max(qty) OVER (ORDER BY cents
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+        |        max(qty) OVER (PARTITION BY cents) AS m2
+        |      FROM s)
+        |SELECT sk AS suppkey, cents, qty
+        |FROM w WHERE (m1 IS NULL OR m1 < qty) AND qty = m2
+        |ORDER BY cents, suppkey""".stripMargin) { (s, d) =>
+      val sup = Tables.lineitem(s, d).groupBy(col("l_suppkey").as("sk"))
+        .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("cents"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+      val strictlyCheaper = Window.orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val samePrice = Window.partitionBy("cents")
+      sup.select(col("sk"), col("cents"), col("qty"),
+          max("qty").over(strictlyCheaper).as("m1"),
+          max("qty").over(samePrice).as("m2"))
+        .filter((col("m1").isNull || col("m1") < col("qty")) &&
+          col("qty") === col("m2"))
+        .select(col("sk").as("suppkey"), col("cents"), col("qty"))
+        .orderBy("cents", "suppkey")
+    },
+
     // ── LTV1: cohort lifetime-value curve — co1 counts RETAINED USERS per
     // cohort age; ltv1 adds the money dimension growth teams actually
     // plan against: cumulative exact revenue cents per weekly cohort as

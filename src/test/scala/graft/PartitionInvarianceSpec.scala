@@ -62,7 +62,7 @@ class PartitionInvarianceSpec extends SparkSpec {
                    "ng1_negative_sampling", "dq4_benford", "an1_anova",
                    "hill1_tail_index", "cr1_cramers_v", "ses1_exp_smoothing",
                    "ams1_second_moment", "rk1_rank_churn", "mc1_rolling_corr",
-                   "seg1_rfm_segments", "ltv1_cohort_ltv")) {
+                   "seg1_rfm_segments", "ltv1_cohort_ltv", "pf1_pareto_frontier")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),
