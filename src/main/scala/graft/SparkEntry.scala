@@ -14,7 +14,8 @@ object SparkEntry {
   private def allQ: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
       StreamingQueries.all ++ MultimodalQueries.all ++ CorpusQueries.all ++
-      AnalyticsQueries.all ++ MlQueries.all ++ EvalQueries.all
+      AnalyticsQueries.all ++ MlQueries.all ++ EvalQueries.all ++
+      StatQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,370 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Round-10 extensions, third wave: the distribution-testing and corpus-
+  * statistics operators of a monitoring/curation pipeline — two-sample
+  * Kolmogorov–Smirnov drift, categorical mutual information, Good–Turing
+  * unseen-mass estimation, Zipf-slope fitting, a Kaplan–Meier-input life
+  * table, and a TPC-H Q8-style market-share join.
+  *
+  * Determinism contracts (the ent1/ols1 class):
+  *  - every cross-engine aggregate is an exact integer (counts, integer
+  *    ppm/micro via truncating division on non-negative operands); where a
+  *    dividend can be negative (mi1's near-zero MI, zipf1's negative
+  *    slope) the division travels as sign(x)·(abs(x) div d) so DuckDB's
+  *    floor `//` and Spark's truncating `div` cannot disagree;
+  *  - the only floats are ln on exact integer counts, rounded to
+  *    micro/milli units identically on both engines (t11/dsir1's
+  *    documented contract).
+  *
+  * Scale design (100 TB):
+  *  - ks1 collapses each corpus to |distinct score| rows FIRST (one keyed
+  *    agg with map-side combine — auc1's plan class); the ECDF prefix
+  *    window and the final max run over that bounded table, and the side
+  *    totals ride a 1-row broadcast.
+  *  - mi1 reduces the corpus to the |lang|×|source| contingency table in
+  *    one keyed agg; marginals are windows over that bounded cell table,
+  *    never a second corpus scan.
+  *  - gt1 is explode → two keyed aggs (token counts, then
+  *    frequency-of-frequencies) — the r→N_r table is tiny at any corpus
+  *    size and the r≤10 output joins it to itself broadcast-style.
+  *  - zipf1's top-K is an orderBy+limit (map-side partial top-k heap per
+  *    partition, K·P rows to one reducer); the log-log OLS runs over K
+  *    rows on exact integer milli-log sums.
+  *  - sur1 is one distinct + one per-customer window (keyed shuffle) +
+  *    a bounded life-table rollup; the reverse-cumulative at-risk count
+  *    windows over |months| rows only.
+  *  - tq8 keeps the one unavoidable fact-fact shuffle (lineitem⋈orders on
+  *    orderkey) and broadcasts every dimension (part filtered to one
+  *    type, supplier, nation⋈region) — the classic star-join shape whose
+  *    plan survives 1000 executors unchanged.
+  */
+object StatQueries {
+
+  private val ws = "[ \\t\\n\\f\\r]+"
+  private val wsSql = """[ \t\n\f\r]+"""
+
+  /** round(ln(c)·1e6) as BIGINT — both engines evaluate ln on the same
+    * exact integer (t11's contract; the 1-ulp .5-boundary risk is the
+    * documented dsir1 class).
+    */
+  private def lnMicro(c: Column): Column =
+    round(log(c.cast("double")) * 1e6).cast("long")
+  private def lnMicroSql(e: String): String =
+    s"CAST(round(ln($e) * 1e6) AS BIGINT)"
+
+  private def lnMilli(c: Column): Column =
+    round(log(c.cast("double")) * 1e3).cast("long")
+  private def lnMilliSql(e: String): String =
+    s"CAST(round(ln($e) * 1e3) AS BIGINT)"
+
+  def all: Seq[Q] = Seq(
+
+    // ── KS1: two-sample Kolmogorov–Smirnov statistic between the English
+    // and non-English document-length distributions — the drift test a
+    // corpus monitor runs between yesterday's and today's shard (psi/dq3
+    // bins by hand; KS is the bin-free referee). D = sup|F_a − F_b| is
+    // carried exactly: d_scaled = max|cum_a·n_b − cum_b·n_a| over the
+    // distinct-score ECDF table is an integer (no rational ever
+    // materializes), and d_ppm = d_scaled·1e6 div (n_a·n_b). Exactness
+    // envelope: cum·n < 2^63 holds to ~3·10⁹ docs per side.
+    // 100 TB: one keyed agg collapses the corpus to |distinct n_chars|
+    // rows; the window orders THAT table; totals are a 1-row broadcast.
+    Q("ks1_ks_test",
+      """WITH s AS (SELECT n_chars AS score,
+        |             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS a,
+        |             CAST(CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS BIGINT) AS b
+        |           FROM documents),
+        |g AS (SELECT score, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+        |      FROM s GROUP BY 1),
+        |c AS (SELECT score,
+        |        CAST(sum(ca) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |        CAST(sum(cb) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+        |        CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+        |        CAST(sum(cb) OVER () AS BIGINT) AS n_b
+        |      FROM g)
+        |SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+        |       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_scaled,
+        |       (CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) * 1000000)
+        |         // (max(n_a) * max(n_b)) AS d_ppm
+        |FROM c""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .select(col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("a"),
+          when(col("lang") === "en", 0L).otherwise(1L).as("b"))
+        .groupBy("score")
+        .agg(sum("a").cast("long").as("ca"), sum("b").cast("long").as("cb"))
+      val tot = g.agg(sum("ca").cast("long").as("n_a"),
+        sum("cb").cast("long").as("n_b"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum_a", sum("ca").over(w).cast("long"))
+        .withColumn("cum_b", sum("cb").over(w).cast("long"))
+        .crossJoin(broadcast(tot))
+        .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+          max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+            .cast("long").as("d_scaled"))
+        .select(col("n_a"), col("n_b"), col("d_scaled"),
+          expr("(d_scaled * 1000000L) div (n_a * n_b)").as("d_ppm"))
+    },
+
+    // ── MI1: mutual information between two categorical columns
+    // (lang × source) — the feature-association readout behind "does this
+    // source's language mix differ?" (cr1 is the chi-square cousin; MI is
+    // the information-theoretic one, and NMI = mi/√(H_x·H_y) follows from
+    // the two entropy columns). N·MI = Σ c_xy·(ln c_xy + ln N − ln c_x −
+    // ln c_y); the micro-unit sum can land epsilon-negative when the
+    // columns are near-independent, so the div-by-N travels as
+    // sign·(abs div N). Entropies use ent1's exact formula.
+    // 100 TB: ONE corpus-scan keyed agg → |lang|×|source| cells; every
+    // marginal is a window over that bounded table.
+    Q("mi1_feature_mi", {
+      val lnN = lnMicroSql("n"); val lnXY = lnMicroSql("cxy")
+      val lnX = lnMicroSql("cx"); val lnY = lnMicroSql("cy")
+      s"""WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS cxy
+         |           FROM documents GROUP BY 1, 2),
+         |m AS (SELECT lang, source, cxy,
+         |        CAST(sum(cxy) OVER (PARTITION BY lang) AS BIGINT) AS cx,
+         |        CAST(sum(cxy) OVER (PARTITION BY source) AS BIGINT) AS cy,
+         |        CAST(sum(cxy) OVER () AS BIGINT) AS n
+         |      FROM c),
+         |s AS (SELECT max(n) AS n_docs, CAST(count(*) AS BIGINT) AS n_cells,
+         |        CAST(sum(cxy * ($lnXY + $lnN - $lnX - $lnY)) AS BIGINT) AS nmi_sum,
+         |        CAST(sum(cxy * $lnX) AS BIGINT) AS sx,
+         |        CAST(sum(cxy * $lnY) AS BIGINT) AS sy,
+         |        ${lnMicroSql("max(n)")} AS ln_n
+         |      FROM m)
+         |SELECT n_docs, n_cells,
+         |       CAST(sign(nmi_sum) AS BIGINT) * (abs(nmi_sum) // n_docs) AS mi_micro,
+         |       ln_n - (sx // n_docs) AS h_lang_micro,
+         |       ln_n - (sy // n_docs) AS h_source_micro
+         |FROM s""".stripMargin
+    }) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).cast("long").as("cxy"))
+      val m = c
+        .withColumn("cx", sum("cxy").over(Window.partitionBy("lang")).cast("long"))
+        .withColumn("cy", sum("cxy").over(Window.partitionBy("source")).cast("long"))
+        .withColumn("n", sum("cxy").over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).cast("long"))
+      m.agg(max("n").as("n_docs"), count(lit(1)).cast("long").as("n_cells"),
+          sum(col("cxy") * (lnMicro(col("cxy")) + lnMicro(col("n"))
+            - lnMicro(col("cx")) - lnMicro(col("cy")))).cast("long").as("nmi_sum"),
+          sum(col("cxy") * lnMicro(col("cx"))).cast("long").as("sx"),
+          sum(col("cxy") * lnMicro(col("cy"))).cast("long").as("sy"))
+        .select(col("n_docs"), col("n_cells"),
+          expr("cast(sign(nmi_sum) as bigint) * (abs(nmi_sum) div n_docs)")
+            .as("mi_micro"),
+          (lnMicro(col("n_docs")) - expr("sx div n_docs")).as("h_lang_micro"),
+          (lnMicro(col("n_docs")) - expr("sy div n_docs")).as("h_source_micro"))
+    },
+
+    // ── GT1: Good–Turing frequency-of-frequencies — the unseen-mass
+    // estimate (p₀ = N₁/N) and smoothed counts r* = (r+1)·N_{r+1}/N_r that
+    // calibrate how much vocabulary a corpus is still missing (the
+    // companion readout to nv2's growth curve; Good 1953 semantics).
+    // Everything is integer: r, N_r, and r*·1e6 via truncating division.
+    // 100 TB: explode → token-count keyed agg (map-side combine) →
+    // freq-of-freq keyed agg; the r→N_r table is tiny at any scale and
+    // the r≤10 self-join is broadcast-class.
+    Q("gt1_good_turing",
+      s"""WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '$wsSql')) AS w
+         |           FROM documents),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+         |ff AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_types FROM wc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c * n_types) AS BIGINT) AS n_tokens,
+         |               CAST(sum(CASE WHEN c = 1 THEN n_types ELSE 0 END) AS BIGINT) AS n1
+         |        FROM (SELECT r AS c, n_types FROM ff))
+         |SELECT ff.r, ff.n_types,
+         |       CAST(coalesce(nxt.n_types, 0) AS BIGINT) AS n_types_next,
+         |       ((ff.r + 1) * CAST(coalesce(nxt.n_types, 0) AS BIGINT) * 1000000)
+         |         // ff.n_types AS r_star_micro,
+         |       tot.n_tokens, (tot.n1 * 1000000) // tot.n_tokens AS unseen_ppm
+         |FROM ff LEFT JOIN ff nxt ON nxt.r = ff.r + 1, tot
+         |WHERE ff.r <= 10 ORDER BY ff.r""".stripMargin) { (s, d) =>
+      val wc = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), ws)).as("w"))
+        .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+      val ff = wc.groupBy(col("c").as("r"))
+        .agg(count(lit(1)).cast("long").as("n_types"))
+      val tot = ff.agg(
+        sum(col("r") * col("n_types")).cast("long").as("n_tokens"),
+        sum(when(col("r") === 1, col("n_types")).otherwise(0L))
+          .cast("long").as("n1"))
+      val nxt = ff.select((col("r") - 1).as("r"), col("n_types").as("nn"))
+      ff.filter(col("r") <= 10)
+        .join(broadcast(nxt), Seq("r"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("n_types"),
+          coalesce(col("nn"), lit(0L)).cast("long").as("n_types_next"),
+          expr("((r + 1) * coalesce(nn, 0L) * 1000000L) div n_types")
+            .as("r_star_micro"),
+          col("n_tokens"),
+          expr("(n1 * 1000000L) div n_tokens").as("unseen_ppm"))
+        .orderBy("r")
+    },
+
+    // ── ZIPF1: Zipf-slope fit — OLS of ln(freq) on ln(rank) over the
+    // top-512 tokens (natural text sits near −1; template/boilerplate
+    // corpora flatten toward 0, so the slope is a corpus-health scalar).
+    // x, y are milli-lns (exact integers both engines); num/den are the
+    // classic OLS integer sums, emitted raw so the compare is airtight;
+    // slope_micro = sign(num)·(abs(num) div (den div 1e6)) keeps the
+    // negative division truncating on both engines. Envelope: n=512,
+    // x≤6.3e3, y≤ln(1e12)·1e3≈2.8e4 ⇒ n·Σxy ≤ 2^63/200.
+    // 100 TB: token counts are one keyed agg; top-K is a per-partition
+    // top-k heap (TakeOrdered — K·P rows ever cross the wire); the OLS
+    // runs over 512 rows.
+    Q("zipf1_zipf_slope",
+      s"""WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '$wsSql')) AS w
+         |           FROM documents),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+         |top AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 512),
+         |r AS (SELECT row_number() OVER (ORDER BY c DESC, w) AS rnk, c FROM top),
+         |xy AS (SELECT ${lnMilliSql("rnk")} AS x, ${lnMilliSql("c")} AS y FROM r),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         |      FROM xy)
+         |SELECT n AS n_ranks, (n * sxy - sx * sy) AS num, (n * sxx - sx * sx) AS den,
+         |       CAST(sign(n * sxy - sx * sy) AS BIGINT)
+         |         * (abs(n * sxy - sx * sy) // ((n * sxx - sx * sx) // 1000000)) AS slope_micro
+         |FROM s""".stripMargin) { (s, d) =>
+      val wc = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), ws)).as("w"))
+        .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+      val top = wc.orderBy(col("c").desc, col("w")).limit(512)
+      val r = top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("c").desc, col("w"))).cast("long"))
+      r.select(lnMilli(col("rnk")).as("x"), lnMilli(col("c")).as("y"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"))
+        .select(col("n").as("n_ranks"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+          expr("cast(sign(num) as bigint) * (abs(num) div (den div 1000000L))")
+            .as("slope_micro"))
+        .select(col("n_ranks"), col("num"), col("den"), col("slope_micro"))
+    },
+
+    // ── SUR1: Kaplan–Meier life table for customer repeat-purchase —
+    // time-to-second-order in 30-day buckets, right-censored at the last
+    // observed order date. The output IS the KM input: per-bucket events,
+    // censorings, the reverse-cumulative at-risk count, and the discrete
+    // hazard d_t/n_t in ppm (S(t) = Π(1−h) is the caller's one bounded
+    // fold — a product never travels cross-engine). All integers.
+    // 100 TB: distinct (cust, date) → one per-customer window (keyed
+    // shuffle on the natural key) → a |months|-row life table; the
+    // at-risk window orders THAT table only; the censoring horizon is a
+    // 1-row broadcast.
+    Q("sur1_life_table",
+      """WITH d AS (SELECT o_custkey, o_orderdate AS dt FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_custkey, dt,
+        |        row_number() OVER (PARTITION BY o_custkey ORDER BY dt) AS rn
+        |      FROM d),
+        |cu AS (SELECT o_custkey, min(CASE WHEN rn = 1 THEN dt END) AS d1,
+        |              min(CASE WHEN rn = 2 THEN dt END) AS d2
+        |       FROM r GROUP BY 1),
+        |mx AS (SELECT max(o_orderdate) AS dmax FROM orders),
+        |ev AS (SELECT CASE WHEN d2 IS NOT NULL
+        |                THEN CAST(date_diff('day', d1, d2) AS BIGINT) // 30
+        |                ELSE CAST(date_diff('day', d1, dmax) AS BIGINT) // 30 END AS t,
+        |              CAST(CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS e
+        |       FROM cu, mx),
+        |lt AS (SELECT t, CAST(sum(e) AS BIGINT) AS n_events,
+        |              CAST(count(*) - sum(e) AS BIGINT) AS n_censored
+        |       FROM ev GROUP BY 1),
+        |ar AS (SELECT t, n_events, n_censored,
+        |         CAST(sum(n_events + n_censored) OVER
+        |           (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk
+        |       FROM lt)
+        |SELECT t, n_events, n_censored, n_at_risk,
+        |       (n_events * 1000000) // n_at_risk AS hazard_ppm
+        |FROM ar ORDER BY t""".stripMargin) { (s, d) =>
+      val dd = Tables.orders(s, d).select(col("o_custkey"),
+        col("o_orderdate").as("dt")).distinct()
+      val r = dd.withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey").orderBy("dt")))
+      val cu = r.groupBy("o_custkey")
+        .agg(min(when(col("rn") === 1, col("dt"))).as("d1"),
+          min(when(col("rn") === 2, col("dt"))).as("d2"))
+      val mx = Tables.orders(s, d).agg(max("o_orderdate").as("dmax"))
+      val ev = cu.crossJoin(broadcast(mx))
+        .select(
+          when(col("d2").isNotNull,
+            expr("cast(datediff(d2, d1) as bigint) div 30"))
+            .otherwise(expr("cast(datediff(dmax, d1) as bigint) div 30")).as("t"),
+          when(col("d2").isNotNull, 1L).otherwise(0L).as("e"))
+      val lt = ev.groupBy("t").agg(sum("e").cast("long").as("n_events"),
+        (count(lit(1)) - sum("e")).cast("long").as("n_censored"))
+      val w = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lt.withColumn("n_at_risk",
+          sum(col("n_events") + col("n_censored")).over(w).cast("long"))
+        .select(col("t"), col("n_events"), col("n_censored"), col("n_at_risk"),
+          expr("(n_events * 1000000L) div n_at_risk").as("hazard_ppm"))
+        .orderBy("t")
+    },
+
+    // ── TQ8: market-share star join (TPC-H Q8's shape on this schema) —
+    // NATION_3 suppliers' share of EUROPE-supplied PROMO-part revenue per
+    // order year. Revenue is the j1/tq3 exact-integer contract: cents ×
+    // (100 − discount-cents) = 4dp integer units, summed exactly; the
+    // share is integer ppm. The plan is the canonical large-scale star:
+    // lineitem⋈orders is THE shuffle (both sides pre-filtered and
+    // column-pruned); part (one p_type), supplier, nation⋈region are all
+    // broadcast — no dimension ever shuffles the fact table twice.
+    Q("tq8_market_share",
+      """WITH rev AS (
+        |  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS r4,
+        |         n.n_name
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE')
+        |SELECT o_year,
+        |       CAST(sum(r4) AS BIGINT) AS rev_all_c4,
+        |       CAST(sum(CASE WHEN n_name = 'NATION_3' THEN r4 ELSE 0 END) AS BIGINT) AS rev_nation_c4,
+        |       (CAST(sum(CASE WHEN n_name = 'NATION_3' THEN r4 ELSE 0 END) AS BIGINT) * 1000000)
+        |         // CAST(sum(r4) AS BIGINT) AS mkt_share_ppm
+        |FROM rev GROUP BY 1 ORDER BY o_year""".stripMargin) { (s, d) =>
+      val cents = (c: Column) => round(c * 100).cast("long")
+      val p = Tables.part(s, d).filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val nr = Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (cents(col("l_extendedprice"))
+            * (lit(100L) - cents(col("l_discount")))).as("r4"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(sum("r4").cast("long").as("rev_all_c4"),
+          sum(when(col("n_name") === "NATION_3", col("r4")).otherwise(0L))
+            .cast("long").as("rev_nation_c4"))
+        .select(col("o_year"), col("rev_all_c4"), col("rev_nation_c4"),
+          expr("(rev_nation_c4 * 1000000L) div rev_all_c4").as("mkt_share_ppm"))
+        .orderBy("o_year")
+    }
+  )
+}
