@@ -693,8 +693,19 @@ object EvalQueries {
     // sequential recurrence that "can't" be declarative becomes ONE window
     // over the |days| series, with no float anywhere (the cp1 closed-form
     // lesson applied to smoothing). The shifted terms pass 2^63 (2^28 ×
-    // daily cents), so y accumulates as decimal(38,0)/HUGEINT. Corpus
-    // scans once into the day-grain pre-agg; everything after is 30 rows.
+    // daily cents), so y accumulates as decimal(38,0)/HUGEINT.
+    // EXACTNESS HORIZON t ≤ 90 (both engines, by construction): the
+    // scaled term cents·2^(t−2) must fit decimal(38,0)/HUGEINT (~1e38 ⇒
+    // 2^(t−2)·1e10 caps t at ~94); days past 90 emit NULL smoothed_cents
+    // on BOTH engines rather than silently-wrong values. Two hazards at
+    // t > 64 are avoided explicitly: Java's long `<<` masks the shift
+    // count mod 64 (so Spark's shiftleft(1L, t−2) would WRAP where
+    // DuckDB's HUGEINT << stays exact — wrong answers with no error),
+    // hence 2^k is built as a two-factor decimal product
+    // 2^min(k,62)·2^(k−62); and past-horizon terms contribute 0 to the
+    // prefix sum so in-horizon rows stay exact regardless of series
+    // length. Corpus scans once into the day-grain pre-agg; everything
+    // after is |days| rows.
     Q("ses1_exp_smoothing",
       """WITH dc AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
         |                            '%Y-%m-%d') AS day,
@@ -704,22 +715,32 @@ object EvalQueries {
         |             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t FROM dc),
         |y AS (SELECT day, cents, t,
         |             CASE WHEN t = 1 THEN CAST(cents AS HUGEINT)
-        |                  ELSE CAST(cents AS HUGEINT) * (CAST(1 AS HUGEINT) << (t - 2))
+        |                  WHEN t <= 90 THEN CAST(cents AS HUGEINT) * (CAST(1 AS HUGEINT) << (t - 2))
+        |                  ELSE CAST(0 AS HUGEINT)
         |             END AS yt
         |      FROM r),
         |u AS (SELECT day, cents, t, sum(yt) OVER (ORDER BY t) AS ut FROM y)
         |SELECT day, cents,
-        |       CAST(ut // (CAST(1 AS HUGEINT) << (t - 1)) AS BIGINT) AS smoothed_cents
+        |       CASE WHEN t <= 90
+        |            THEN CAST(ut // (CAST(1 AS HUGEINT) << (t - 1)) AS BIGINT)
+        |       END AS smoothed_cents
         |FROM u ORDER BY day""".stripMargin) { (s, d) =>
       val dc = Tables.events(s, d).filter(col("event_type") === "purchase")
         .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
         .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
       val wd = Window.orderBy("day")
       val r = dc.withColumn("t", row_number().over(wd).cast("long"))
+      // 2^k as decimal(38,0) WITHOUT Java's shift-count-mod-64 wrap:
+      // split the exponent across two long shifts (exact to k = 124;
+      // the t <= 90 horizon needs k <= 89)
+      def pow2(k: String): String =
+        s"(cast(shiftleft(1L, cast(least($k, 62L) as int)) as decimal(38,0))" +
+          s" * cast(shiftleft(1L, cast(greatest(($k) - 62L, 0L) as int)) as decimal(38,0)))"
       val y = r.withColumn("yt",
         when(col("t") === 1, col("cents").cast("decimal(38,0)"))
-          .otherwise(col("cents").cast("decimal(38,0)")
-            * expr("shiftleft(1L, cast(t - 2 as int))")))
+          .when(col("t") <= 90,
+            col("cents").cast("decimal(38,0)") * expr(pow2("t - 2")))
+          .otherwise(lit(0).cast("decimal(38,0)")))
       val u = y.withColumn("ut",
         sum(col("yt")).over(Window.orderBy("t")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -727,7 +748,8 @@ object EvalQueries {
           // integral `div` on decimals — NOT `/`+floor, whose decimal
           // quotient rounds to 6dp first and can carry past the floor
           // boundary (k/2^30 fractions get within 1e-9 of 1)
-          expr("cast(ut div cast(shiftleft(1L, cast(t - 1 as int)) as decimal(38,0)) as bigint)")
+          when(col("t") <= 90,
+            expr(s"cast(ut div ${pow2("t - 1")} as bigint)"))
             .as("smoothed_cents"))
         .orderBy("day")
     },
