@@ -74,6 +74,13 @@ object StatQueries {
     // envelope: cum·n < 2^63 holds to ~3·10⁹ docs per side.
     // 100 TB: one keyed agg collapses the corpus to |distinct n_chars|
     // rows; the window orders THAT table; totals are a 1-row broadcast.
+    // BOUNDED-WINDOW CONTRACT (w5/auc1's class): the unpartitioned ECDF
+    // window runs over the DISTINCT-score table g, whose row count is
+    // bounded by the score domain — n_chars ≤ max document length (≤ 8192
+    // on every driver corpus; StatQueriesSpec pins distinct(n_chars) ≪
+    // |documents| and ≤ that cap), NOT by corpus size. A continuous score
+    // (an ML quality float) must be binned/quantized to a bounded domain
+    // first — the same pre-step dq3's PSI takes — before riding this plan.
     Q("ks1_ks_test",
       """WITH s AS (SELECT n_chars AS score,
         |             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS a,
@@ -89,8 +96,8 @@ object StatQueries {
         |      FROM g)
         |SELECT max(n_a) AS n_a, max(n_b) AS n_b,
         |       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_scaled,
-        |       (CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) * 1000000)
-        |         // (max(n_a) * max(n_b)) AS d_ppm
+        |       CAST((CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS HUGEINT) * 1000000)
+        |         // (CAST(max(n_a) AS HUGEINT) * max(n_b)) AS BIGINT) AS d_ppm
         |FROM c""".stripMargin) { (s, d) =>
       val g = Tables.documents(s, d)
         .select(col("n_chars").as("score"),
@@ -108,8 +115,11 @@ object StatQueries {
         .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
           max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
             .cast("long").as("d_scaled"))
+        // the x1e6 rides decimal(38,0)/HUGEINT — d_scaled alone reaches
+        // ~6e12 at sf10, so the ppm product passes 2^63 one decade later
         .select(col("n_a"), col("n_b"), col("d_scaled"),
-          expr("(d_scaled * 1000000L) div (n_a * n_b)").as("d_ppm"))
+          expr("cast((cast(d_scaled as decimal(38,0)) * 1000000)" +
+            " div (cast(n_a as decimal(38,0)) * n_b) as bigint)").as("d_ppm"))
     },
 
     // ── MI1: mutual information between two categorical columns
@@ -133,15 +143,15 @@ object StatQueries {
          |        CAST(sum(cxy) OVER () AS BIGINT) AS n
          |      FROM c),
          |s AS (SELECT max(n) AS n_docs, CAST(count(*) AS BIGINT) AS n_cells,
-         |        CAST(sum(cxy * ($lnXY + $lnN - $lnX - $lnY)) AS BIGINT) AS nmi_sum,
-         |        CAST(sum(cxy * $lnX) AS BIGINT) AS sx,
-         |        CAST(sum(cxy * $lnY) AS BIGINT) AS sy,
+         |        sum(CAST(cxy AS HUGEINT) * ($lnXY + $lnN - $lnX - $lnY)) AS nmi_sum,
+         |        sum(CAST(cxy AS HUGEINT) * $lnX) AS sx,
+         |        sum(CAST(cxy AS HUGEINT) * $lnY) AS sy,
          |        ${lnMicroSql("max(n)")} AS ln_n
          |      FROM m)
          |SELECT n_docs, n_cells,
-         |       CAST(sign(nmi_sum) AS BIGINT) * (abs(nmi_sum) // n_docs) AS mi_micro,
-         |       ln_n - (sx // n_docs) AS h_lang_micro,
-         |       ln_n - (sy // n_docs) AS h_source_micro
+         |       CAST(CAST(sign(nmi_sum) AS BIGINT) * (abs(nmi_sum) // n_docs) AS BIGINT) AS mi_micro,
+         |       CAST(ln_n - (sx // n_docs) AS BIGINT) AS h_lang_micro,
+         |       CAST(ln_n - (sy // n_docs) AS BIGINT) AS h_source_micro
          |FROM s""".stripMargin
     }) { (s, d) =>
       val c = Tables.documents(s, d)
@@ -152,16 +162,22 @@ object StatQueries {
         .withColumn("n", sum("cxy").over(
           Window.partitionBy().rowsBetween(Window.unboundedPreceding,
             Window.unboundedFollowing)).cast("long"))
+      // cast-BEFORE-sum (ams1's contract): each term is cxy x a ~3e7 micro-ln,
+      // so the corpus-sized sum passes 2^63 near 3e11 docs — decimal(38,0)
+      // here, native HUGEINT on the DuckDB side
       m.agg(max("n").as("n_docs"), count(lit(1)).cast("long").as("n_cells"),
-          sum(col("cxy") * (lnMicro(col("cxy")) + lnMicro(col("n"))
-            - lnMicro(col("cx")) - lnMicro(col("cy")))).cast("long").as("nmi_sum"),
-          sum(col("cxy") * lnMicro(col("cx"))).cast("long").as("sx"),
-          sum(col("cxy") * lnMicro(col("cy"))).cast("long").as("sy"))
+          sum((col("cxy") * (lnMicro(col("cxy")) + lnMicro(col("n"))
+            - lnMicro(col("cx")) - lnMicro(col("cy")))).cast("decimal(38,0)"))
+            .as("nmi_sum"),
+          sum((col("cxy") * lnMicro(col("cx"))).cast("decimal(38,0)")).as("sx"),
+          sum((col("cxy") * lnMicro(col("cy"))).cast("decimal(38,0)")).as("sy"))
         .select(col("n_docs"), col("n_cells"),
-          expr("cast(sign(nmi_sum) as bigint) * (abs(nmi_sum) div n_docs)")
+          expr("cast(cast(sign(nmi_sum) as bigint) * (abs(nmi_sum) div n_docs) as bigint)")
             .as("mi_micro"),
-          (lnMicro(col("n_docs")) - expr("sx div n_docs")).as("h_lang_micro"),
-          (lnMicro(col("n_docs")) - expr("sy div n_docs")).as("h_source_micro"))
+          (lnMicro(col("n_docs")) - expr("sx div n_docs")).cast("long")
+            .as("h_lang_micro"),
+          (lnMicro(col("n_docs")) - expr("sy div n_docs")).cast("long")
+            .as("h_source_micro"))
     },
 
     // ── GT1: Good–Turing frequency-of-frequencies — the unseen-mass
@@ -182,11 +198,13 @@ object StatQueries {
          |        FROM (SELECT r AS c, n_types FROM ff))
          |SELECT ff.r, ff.n_types,
          |       CAST(coalesce(nxt.n_types, 0) AS BIGINT) AS n_types_next,
-         |       ((ff.r + 1) * CAST(coalesce(nxt.n_types, 0) AS BIGINT) * 1000000)
-         |         // ff.n_types AS r_star_micro,
-         |       tot.n_tokens, (tot.n1 * 1000000) // tot.n_tokens AS unseen_ppm
-         |FROM ff LEFT JOIN ff nxt ON nxt.r = ff.r + 1, tot
-         |WHERE ff.r <= 10 ORDER BY ff.r""".stripMargin) { (s, d) =>
+         |       CAST(((ff.r + 1) * CAST(coalesce(nxt.n_types, 0) AS HUGEINT) * 1000000)
+         |         // ff.n_types AS BIGINT) AS r_star_micro,
+         |       tot.n_tokens,
+         |       CAST((CAST(tot.n1 AS HUGEINT) * 1000000) // tot.n_tokens AS BIGINT) AS unseen_ppm
+         |FROM (SELECT * FROM ff ORDER BY r LIMIT 10) ff
+         |LEFT JOIN ff nxt ON nxt.r = ff.r + 1, tot
+         |ORDER BY ff.r""".stripMargin) { (s, d) =>
       val wc = Tables.documents(s, d)
         .select(explode(split(trim(col("text")), ws)).as("w"))
         .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
@@ -197,15 +215,22 @@ object StatQueries {
         sum(when(col("r") === 1, col("n_types")).otherwise(0L))
           .cast("long").as("n1"))
       val nxt = ff.select((col("r") - 1).as("r"), col("n_types").as("nn"))
-      ff.filter(col("r") <= 10)
+      // the 10 LOWEST r present (TakeOrdered), not a fixed r <= 10 cut —
+      // a corpus whose rarest token still has count > 10 (every driver
+      // corpus: synthetic docs repeat every word) would emit zero rows
+      // under the fixed cut, gutting the oracle row
+      ff.orderBy("r").limit(10)
         .join(broadcast(nxt), Seq("r"), "left")
         .crossJoin(broadcast(tot))
+        // micro/ppm products in decimal(38,0)/HUGEINT: N_r and N1 reach
+        // ~1e12 types at 100 TB, so the x1e6 products need the headroom
         .select(col("r"), col("n_types"),
           coalesce(col("nn"), lit(0L)).cast("long").as("n_types_next"),
-          expr("((r + 1) * coalesce(nn, 0L) * 1000000L) div n_types")
-            .as("r_star_micro"),
+          expr("cast(((r + 1) * cast(coalesce(nn, 0L) as decimal(38,0)) * 1000000)" +
+            " div n_types as bigint)").as("r_star_micro"),
           col("n_tokens"),
-          expr("(n1 * 1000000L) div n_tokens").as("unseen_ppm"))
+          expr("cast((cast(n1 as decimal(38,0)) * 1000000) div n_tokens as bigint)")
+            .as("unseen_ppm"))
         .orderBy("r")
     },
 
@@ -219,7 +244,11 @@ object StatQueries {
     // x≤6.3e3, y≤ln(1e12)·1e3≈2.8e4 ⇒ n·Σxy ≤ 2^63/200.
     // 100 TB: token counts are one keyed agg; top-K is a per-partition
     // top-k heap (TakeOrdered — K·P rows ever cross the wire); the OLS
-    // runs over 512 rows.
+    // runs over 512 rows. BOUNDED-WINDOW CONTRACT: the rank window's
+    // input is the LIMIT-512 table by construction (the limit sits
+    // upstream of the window in the same plan — StatQueriesSpec asserts
+    // the plan shape), so the unpartitioned row_number never sees more
+    // than 512 rows at any corpus size.
     Q("zipf1_zipf_slope",
       s"""WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '$wsSql')) AS w
          |           FROM documents),
@@ -263,7 +292,11 @@ object StatQueries {
     // 100 TB: distinct (cust, date) → one per-customer window (keyed
     // shuffle on the natural key) → a |months|-row life table; the
     // at-risk window orders THAT table only; the censoring horizon is a
-    // 1-row broadcast.
+    // 1-row broadcast DERIVED FROM the distinct table (max over distinct
+    // (cust, dt) ≡ global max(o_orderdate)), which is localCheckpointed so
+    // orders is scanned ONCE — the horizon agg and the main chain both
+    // read the materialized post-distinct table, not the parquet twice
+    // (StatQueriesSpec asserts zero FileScans in the final plan).
     Q("sur1_life_table",
       """WITH d AS (SELECT o_custkey, o_orderdate AS dt FROM orders GROUP BY 1, 2),
         |r AS (SELECT o_custkey, dt,
@@ -289,13 +322,15 @@ object StatQueries {
         |       (n_events * 1000000) // n_at_risk AS hazard_ppm
         |FROM ar ORDER BY t""".stripMargin) { (s, d) =>
       val dd = Tables.orders(s, d).select(col("o_custkey"),
-        col("o_orderdate").as("dt")).distinct()
+        col("o_orderdate").as("dt")).distinct().localCheckpoint()
       val r = dd.withColumn("rn", row_number().over(
         Window.partitionBy("o_custkey").orderBy("dt")))
       val cu = r.groupBy("o_custkey")
         .agg(min(when(col("rn") === 1, col("dt"))).as("d1"),
           min(when(col("rn") === 2, col("dt"))).as("d2"))
-      val mx = Tables.orders(s, d).agg(max("o_orderdate").as("dmax"))
+      // max over the distinct (cust, dt) table IS max(o_orderdate) — one
+      // orders scan total (both consumers read the checkpointed distinct)
+      val mx = dd.agg(max("dt").as("dmax"))
       val ev = cu.crossJoin(broadcast(mx))
         .select(
           when(col("d2").isNotNull,
@@ -336,8 +371,8 @@ object StatQueries {
         |SELECT o_year,
         |       CAST(sum(r4) AS BIGINT) AS rev_all_c4,
         |       CAST(sum(CASE WHEN n_name = 'NATION_3' THEN r4 ELSE 0 END) AS BIGINT) AS rev_nation_c4,
-        |       (CAST(sum(CASE WHEN n_name = 'NATION_3' THEN r4 ELSE 0 END) AS BIGINT) * 1000000)
-        |         // CAST(sum(r4) AS BIGINT) AS mkt_share_ppm
+        |       CAST((CAST(sum(CASE WHEN n_name = 'NATION_3' THEN r4 ELSE 0 END) AS HUGEINT) * 1000000)
+        |         // CAST(sum(r4) AS HUGEINT) AS BIGINT) AS mkt_share_ppm
         |FROM rev GROUP BY 1 ORDER BY o_year""".stripMargin) { (s, d) =>
       val cents = (c: Column) => round(c * 100).cast("long")
       val p = Tables.part(s, d).filter(col("p_type") === "PROMO")
@@ -362,8 +397,12 @@ object StatQueries {
         .agg(sum("r4").cast("long").as("rev_all_c4"),
           sum(when(col("n_name") === "NATION_3", col("r4")).otherwise(0L))
             .cast("long").as("rev_nation_c4"))
+        // ppm in decimal(38,0)/HUGEINT: rev·1e6 passes 2^63 already at sf10
+        // (yearly rev_c4 ~ 1e15), while the BIGINT outputs themselves hold
+        // to ~9e18 (~1e9x the sf0.1 corpus)
         .select(col("o_year"), col("rev_all_c4"), col("rev_nation_c4"),
-          expr("(rev_nation_c4 * 1000000L) div rev_all_c4").as("mkt_share_ppm"))
+          expr("cast((cast(rev_nation_c4 as decimal(38,0)) * 1000000) div rev_all_c4 as bigint)")
+            .as("mkt_share_ppm"))
         .orderBy("o_year")
     }
   )

@@ -35,6 +35,44 @@ class ExpSmoothingSpec extends SparkSpec {
     }
   }
 
+  test("a 130-day series: exact through the t = 90 horizon, NULL past it") {
+    // exercises the two paths the 30-day driver corpus never reaches:
+    // the two-factor pow2 split (t - 2 > 62, i.e. t >= 65, where a single
+    // long shiftleft would wrap mod 64) and the t > 90 exactness horizon
+    // (decimal(38,0) headroom), which must emit NULL rather than drift
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = CacheRegistry.trackPath(
+      java.nio.file.Files.createTempDirectory("ses1h").toString)
+    val base = java.time.LocalDate.parse("2024-01-01")
+    val rows = (0 until 130).map { i =>
+      val cents = (i * 13) % 97 + 1
+      (i.toLong, base.plusDays(i).toString + " 12:00:00", 1L, "purchase",
+        cents / 100.0)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("ses1_exp_smoothing")(spark, dir)
+      .collect().sortBy(_.getString(0))
+    assert(out.length == 130)
+    var u = BigInt(0)
+    out.zipWithIndex.foreach { case (r, i) =>
+      val t = i + 1
+      val cents = r.getLong(1)
+      assert(cents == (i * 13) % 97 + 1)
+      u += (if (t == 1) BigInt(cents) else BigInt(cents) << (t - 2))
+      if (t <= 90) {
+        assert(!r.isNullAt(2), s"t=$t inside the horizon must be non-NULL")
+        assert(r.getLong(2) == (u >> (t - 1)).toLong,
+          s"t=$t: got ${r.getLong(2)}, recursion says ${(u >> (t - 1)).toLong}")
+      } else {
+        assert(r.isNullAt(2), s"t=$t past the horizon must be NULL")
+      }
+    }
+  }
+
   test("ses1 on testdata is deterministic across runs") {
     val sf = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("ses1_exp_smoothing")(spark, sf)

@@ -62,7 +62,14 @@ class PartitionInvarianceSpec extends SparkSpec {
                    "ng1_negative_sampling", "dq4_benford", "an1_anova",
                    "hill1_tail_index", "cr1_cramers_v", "ses1_exp_smoothing",
                    "ams1_second_moment", "rk1_rank_churn", "mc1_rolling_corr",
-                   "seg1_rfm_segments", "ltv1_cohort_ltv", "pf1_pareto_frontier")) {
+                   "seg1_rfm_segments", "ltv1_cohort_ltv", "pf1_pareto_frontier",
+                   // StatQueries family: ks1's ECDF window over the
+                   // distinct-score table, mi1's micro-ln contingency sums,
+                   // gt1's freq-of-freq aggs, zipf1's TakeOrdered-512 +
+                   // rank window, sur1's checkpointed-distinct + keyed
+                   // window, tq8's broadcast star + conditional agg
+                   "ks1_ks_test", "mi1_feature_mi", "gt1_good_turing",
+                   "zipf1_zipf_slope", "sur1_life_table", "tq8_market_share")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),

@@ -1,0 +1,254 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral invariants of graft.queries.StatQueries — the six
+  * distribution-testing / corpus-statistics operators (ks1, mi1, gt1,
+  * zipf1, sur1, tq8). The DuckDB oracle gates cross-engine equality on the
+  * driver corpus; these pin the SEMANTICS on fixtures where the right
+  * answer is computable by hand, plus the two plan contracts the family's
+  * 100 TB claims rest on: sur1's single-orders-scan (the horizon is derived
+  * from the checkpointed distinct table) and the bounded-window inputs of
+  * ks1 (distinct-score table) and zipf1 (LIMIT-512 table).
+  */
+class StatQueriesSpec extends SparkSpec {
+
+  private def q(name: String) =
+    graft.queries.StatQueries.all.find(_.name == name).get
+
+  private def tmpDir(prefix: String): String =
+    CacheRegistry.trackPath(
+      java.nio.file.Files.createTempDirectory(prefix).toString)
+
+  private def writeDocs(dir: String, rows: Seq[(Long, String, String, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  private def writeOrders(dir: String, rows: Seq[(Long, Long, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_totalprice", lit(1.0))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+  }
+
+  // ── ks1 ──────────────────────────────────────────────────────────────────
+
+  test("ks1: hand-computed two-sample D — en {1,2} vs fr {2,3} gives D = 1/2") {
+    val dir = tmpDir("ks1a")
+    // ECDF table (score, cum_a, cum_b), n_a = n_b = 2:
+    //   1: (1,0) -> |1*2-0*2| = 2 ; 2: (2,1) -> |4-2| = 2 ; 3: (2,2) -> 0
+    // d_scaled = 2, d_ppm = 2e6 div 4 = 500000.
+    writeDocs(dir, Seq(
+      (1L, "a", "en", "s"), (2L, "aa", "en", "s"),
+      (3L, "bb", "fr", "s"), (4L, "bbb", "fr", "s")))
+    val r = q("ks1_ks_test").run(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (2L, 2L, 2L, 500000L))
+  }
+
+  test("ks1: identical distributions give D = 0") {
+    val dir = tmpDir("ks1b")
+    writeDocs(dir, Seq(
+      (1L, "a", "en", "s"), (2L, "aa", "en", "s"),
+      (3L, "b", "fr", "s"), (4L, "bb", "fr", "s")))
+    val r = q("ks1_ks_test").run(spark, dir).collect()(0)
+    assert((r.getLong(2), r.getLong(3)) == (0L, 0L))
+  }
+
+  test("ks1: the ECDF window input is the DISTINCT-score table, not the corpus") {
+    // the bounded-window contract — the unpartitioned window is safe only
+    // because its input has one row per distinct n_chars value; this fails
+    // if the window ever moves upstream of the score-grain aggregation
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf).count()
+    val scores = Tables.documents(spark, sf).select("n_chars").distinct().count()
+    // the bound is the DOMAIN (max doc length), not the corpus: 311 distinct
+    // lengths at 500 docs here, still <= 8192 at 2e9 docs
+    assert(scores <= 8192, s"score domain unbounded: $scores distinct lengths")
+    assert(scores < docs, s"window input ($scores) not below corpus ($docs)")
+    // and the plan reflects it: the window's child contains the HashAggregate
+    val p = q("ks1_ks_test").run(spark, sf).queryExecution.executedPlan.toString
+    val winAt = p.indexOf("Window")
+    assert(winAt >= 0 && p.indexOf("HashAggregate", winAt) >= 0,
+      s"score-grain aggregate not upstream of the ECDF window:\n$p")
+  }
+
+  // ── mi1 ──────────────────────────────────────────────────────────────────
+
+  test("mi1: perfectly dependent 2x2 has MI = H = ln 2; independent has MI = 0") {
+    val dep = tmpDir("mi1a")
+    writeDocs(dep, (1L to 10L).map(i => (i, "x", "en", "s1")) ++
+      (11L to 20L).map(i => (i, "x", "de", "s2")))
+    val r = q("mi1_feature_mi").run(spark, dep).collect()(0)
+    // ln2*1e6 = 693147 via the integer formula's exact micro-ln arithmetic
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (20L, 2L, 693147L, 693147L, 693147L))
+
+    val ind = tmpDir("mi1b")
+    writeDocs(ind,
+      (1L to 5L).map(i => (i, "x", "en", "s1")) ++
+      (6L to 10L).map(i => (i, "x", "en", "s2")) ++
+      (11L to 15L).map(i => (i, "x", "de", "s1")) ++
+      (16L to 20L).map(i => (i, "x", "de", "s2")))
+    val r2 = q("mi1_feature_mi").run(spark, ind).collect()(0)
+    assert(r2.getLong(2) == 0L, s"independent MI should be 0, got ${r2.getLong(2)}")
+    assert(r2.getLong(3) == 693147L && r2.getLong(4) == 693147L)
+  }
+
+  test("mi1: spark result replays the integer formula (BigInt reference fold)") {
+    val sf = "/root/testdata/sf0.001"
+    val cells = Tables.documents(spark, sf)
+      .groupBy("lang", "source").agg(count(lit(1)).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def lnMicro(c: Long): Long = math.round(math.log(c.toDouble) * 1e6)
+    val n = cells.map(_._3).sum
+    val cx = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val cy = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val nmiSum = cells.map { case (l, s, c) =>
+      BigInt(c) * (lnMicro(c) + lnMicro(n) - lnMicro(cx(l)) - lnMicro(cy(s)))
+    }.sum
+    val expectMi = (nmiSum.sign * (nmiSum.abs / n)).toLong
+    val r = q("mi1_feature_mi").run(spark, sf).collect()(0)
+    assert(r.getLong(2) == expectMi, s"mi_micro ${r.getLong(2)} != fold $expectMi")
+  }
+
+  // ── gt1 ──────────────────────────────────────────────────────────────────
+
+  test("gt1: Good 1953 toy — counts {a:3,b:2,c:1,d:1,e:1}") {
+    val dir = tmpDir("gt1")
+    writeDocs(dir, Seq((1L, "a a a b b c d e", "en", "s")))
+    // N = 8 tokens, N1 = 3 -> unseen = 375000 ppm; r* in micro:
+    //   r=1: 2*N2/N1 = 2e6 div 3 = 666666 ; r=2: 3*N3/N2 = 3000000 ; r=3: 0
+    val rows = q("gt1_good_turing").run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows == Map(
+      1L -> (3L, 1L, 666666L, 8L, 375000L),
+      2L -> (1L, 1L, 3000000L, 8L, 375000L),
+      3L -> (1L, 0L, 0L, 8L, 375000L)))
+  }
+
+  // ── zipf1 ────────────────────────────────────────────────────────────────
+
+  test("zipf1: a planted 1/r power law fits slope ~ -1; a flat corpus fits 0") {
+    val planted = tmpDir("zipf1a")
+    // counts 840/r for r = 1..8 — exact integers, all distinct
+    val text = (1 to 8).flatMap(r => Seq.fill(840 / r)(s"w$r")).mkString(" ")
+    writeDocs(planted, Seq((1L, text, "en", "s")))
+    val r1 = q("zipf1_zipf_slope").run(spark, planted).collect()(0)
+    assert(r1.getLong(0) == 8L)
+    val slope = r1.getLong(3)
+    // the div-by-(den div 1e6) truncation bounds precision at ~0.5% for an
+    // 8-point fit; the planted law must land within 3% of -1e6
+    assert(slope > -1030000L && slope < -970000L, s"slope_micro = $slope")
+
+    val flat = tmpDir("zipf1b")
+    writeDocs(flat, Seq((1L, (1 to 8).flatMap(r => Seq.fill(5)(s"w$r")).mkString(" "), "en", "s")))
+    val r2 = q("zipf1_zipf_slope").run(spark, flat).collect()(0)
+    assert(r2.getLong(1) == 0L && r2.getLong(3) == 0L, s"flat corpus: $r2")
+  }
+
+  test("zipf1: the rank window input is the LIMIT-512 table (bounded-window contract)") {
+    val sf = "/root/testdata/sf0.001"
+    val p = q("zipf1_zipf_slope").run(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // the limit must sit UPSTREAM of the window in the optimized plan: the
+    // plan reads Window(... child ... Limit/TakeOrdered ...), so the first
+    // Window node appears BEFORE (above) a limit node in the tree print
+    val winAt = p.indexOf("Window")
+    val limAt = math.max(p.indexOf("GlobalLimit", winAt),
+      p.indexOf("Limit", winAt))
+    assert(winAt >= 0 && limAt > winAt,
+      s"rank window not fed by the LIMIT-512 table:\n$p")
+  }
+
+  // ── sur1 ─────────────────────────────────────────────────────────────────
+
+  test("sur1: three-customer life table with a same-day duplicate order") {
+    val dir = tmpDir("sur1")
+    writeOrders(dir, Seq(
+      // c1: duplicate same-day orders (distinct collapses), repeat at day 45
+      (1L, 1L, "2024-01-01"), (2L, 1L, "2024-01-01"), (3L, 1L, "2024-02-15"),
+      // c2: single order -> right-censored at dmax (2024-02-15, day 45)
+      (4L, 2L, "2024-01-01"),
+      // c3: repeat at day 10 -> bucket 0 event
+      (5L, 3L, "2024-01-01"), (6L, 3L, "2024-01-11")))
+    val rows = q("sur1_life_table").run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows == Map(
+      0L -> (1L, 0L, 3L, 333333L),
+      1L -> (1L, 1L, 2L, 500000L)))
+  }
+
+  test("sur1: orders is scanned once — the horizon rides the checkpointed distinct") {
+    val p = q("sur1_life_table").run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans == 0,
+      s"orders parquet re-scanned $scans times past the checkpoint:\n$p")
+  }
+
+  // ── tq8 ──────────────────────────────────────────────────────────────────
+
+  test("tq8: hand-computed market share on a two-year star") {
+    import spark.implicits._
+    val dir = tmpDir("tq8")
+    Seq((0, "EUROPE"), (1, "ASIA")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    Seq((3, "NATION_3", 0), (4, "NATION_4", 0), (9, "NATION_9", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, "s1", 3), (2L, "s2", 4), (3L, "s3", 9))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, "PROMO"), (2L, "STANDARD")).toDF("p_partkey", "p_type")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((1L, "1995-03-15"), (2L, "1996-07-01")).toDF("o_orderkey", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(
+      (1L, 1L, 1L, 10.0, 0.10), // 1995, NATION_3: 1000 * 90 = 90000
+      (1L, 1L, 2L, 20.0, 0.00), // 1995, NATION_4 (EUROPE, not n3): 200000
+      (1L, 2L, 1L, 99.0, 0.00), // STANDARD part -> excluded
+      (1L, 1L, 3L, 99.0, 0.00), // ASIA supplier -> excluded
+      (2L, 1L, 1L, 5.0, 0.02))  // 1996, NATION_3: 500 * 98 = 49000
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = q("tq8_market_share").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // 1995: 90000e6 div 290000 = 310344 ; 1996: all revenue is NATION_3
+    assert(rows == Map(
+      1995L -> (290000L, 90000L, 310344L),
+      1996L -> (49000L, 49000L, 1000000L)))
+    // revenue conservation: the nation slice never exceeds the region total
+    rows.values.foreach { case (all, nat, _) => assert(nat <= all && all > 0) }
+  }
+
+  test("tq8: dimensions broadcast; the only shuffle join is lineitem-orders") {
+    val p = q("tq8_market_share").run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"part/supplier dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  // ── determinism across runs (the family is all exact integers) ──────────
+
+  for (name <- Seq("ks1_ks_test", "mi1_feature_mi", "gt1_good_turing",
+                   "zipf1_zipf_slope", "sur1_life_table", "tq8_market_share")) {
+    test(s"$name on testdata is deterministic across runs") {
+      val sf = "/root/testdata/sf0.001"
+      val a = SparkEntry.queries(name)(spark, sf)
+      val b = SparkEntry.queries(name)(spark, sf)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+  }
+}
