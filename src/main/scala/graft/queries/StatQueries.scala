@@ -404,6 +404,189 @@ object StatQueries {
           expr("cast((cast(rev_nation_c4 as decimal(38,0)) * 1000000) div rev_all_c4 as bigint)")
             .as("mkt_share_ppm"))
         .orderBy("o_year")
+    },
+
+    // ── EMD1: Wasserstein-1 (earth-mover) drift between the en and non-en
+    // length distributions — ks1's companion: KS reads the WORST point of
+    // ECDF divergence, W1 integrates ALL of it (∫|F_a − F_b|dx), so a
+    // broad small shift that KS underweights still moves W1. Carried
+    // exactly on ks1's distinct-score ECDF table: each gap contributes
+    // |cum_a·n_b − cum_b·n_a|·(next−score), summed cast-BEFORE-sum in
+    // decimal(38,0)/HUGEINT (a term reaches ~6e12·gap at sf10, the sum
+    // passes 2^63 well before the output does); w1_micro = sum·1e6 div
+    // (n_a·n_b) ≤ 1e6·max_score fits BIGINT at any corpus size.
+    // 100 TB: identical plan class to ks1 — one keyed agg to the
+    // domain-bounded score table, windows over THAT, 1-row result.
+    Q("emd1_wasserstein",
+      """WITH s AS (SELECT n_chars AS score,
+        |             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS a,
+        |             CAST(CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS BIGINT) AS b
+        |           FROM documents),
+        |g AS (SELECT score, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+        |      FROM s GROUP BY 1),
+        |c AS (SELECT score,
+        |        CAST(sum(ca) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |        CAST(sum(cb) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+        |        CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+        |        CAST(sum(cb) OVER () AS BIGINT) AS n_b,
+        |        lead(score) OVER (ORDER BY score) AS nxt
+        |      FROM g)
+        |SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+        |       CAST((sum(CASE WHEN nxt IS NULL THEN CAST(0 AS HUGEINT)
+        |                      ELSE CAST(abs(cum_a * n_b - cum_b * n_a) AS HUGEINT)
+        |                             * (nxt - score) END) * 1000000)
+        |         // (CAST(max(n_a) AS HUGEINT) * max(n_b)) AS BIGINT) AS w1_micro
+        |FROM c""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .select(col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("a"),
+          when(col("lang") === "en", 0L).otherwise(1L).as("b"))
+        .groupBy("score")
+        .agg(sum("a").cast("long").as("ca"), sum("b").cast("long").as("cb"))
+      val tot = g.agg(sum("ca").cast("long").as("n_a"),
+        sum("cb").cast("long").as("n_b"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // same bounded-window contract as ks1: every window input is the
+      // distinct-score table
+      g.withColumn("cum_a", sum("ca").over(w).cast("long"))
+        .withColumn("cum_b", sum("cb").over(w).cast("long"))
+        .withColumn("nxt", lead("score", 1).over(Window.orderBy("score")))
+        .crossJoin(broadcast(tot))
+        .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+          sum(when(col("nxt").isNull, lit(0).cast("decimal(38,0)"))
+            .otherwise((abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
+              * (col("nxt") - col("score"))).cast("decimal(38,0)"))).as("wsum"))
+        .select(col("n_a"), col("n_b"),
+          expr("cast((wsum * 1000000) div (cast(n_a as decimal(38,0)) * n_b) as bigint)")
+            .as("w1_micro"))
+    },
+
+    // ── WT1: Welch's two-sample t (unequal variances) + Cohen's d between
+    // en and non-en document lengths — the pairwise mean-shift test under
+    // an1's k-group ANOVA (an1 asks "do ANY groups differ"; wt1 reads the
+    // magnitude and direction of ONE contrast, with the effect size that
+    // survives n growing). Sufficient statistics are ols1's one-pass
+    // contract: per side exact n, Σx (int64), Σx² (decimal(38,0)/HUGEINT
+    // — length² sums pass 2^63 in the corpus's first decades); the double
+    // finish runs on the 1-row aggregate with IDENTICAL expression shapes
+    // both engines (divisions + one sqrt, IEEE correctly-rounded), 6dp.
+    // Zero-variance-both-sides guards to NULL symmetrically.
+    // 100 TB: ONE conditional-agg corpus scan → 1 row; nothing else.
+    Q("wt1_welch_ttest",
+      """WITH g AS (SELECT
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS s_a,
+        |  sum(CASE WHEN lang = 'en' THEN CAST(n_chars AS HUGEINT) * n_chars ELSE 0 END) AS q_a,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE n_chars END) AS BIGINT) AS s_b,
+        |  sum(CASE WHEN lang = 'en' THEN 0 ELSE CAST(n_chars AS HUGEINT) * n_chars END) AS q_b
+        |  FROM documents),
+        |v AS (SELECT n_a, n_b,
+        |        CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+        |        CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+        |        (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |          / CAST(n_a - 1 AS DOUBLE) AS va,
+        |        (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |          / CAST(n_b - 1 AS DOUBLE) AS vb
+        |      FROM g)
+        |SELECT n_a, n_b,
+        |       CASE WHEN va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) > 0
+        |            THEN round((m_a - m_b) / sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)), 6)
+        |       END AS t_stat,
+        |       CASE WHEN va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) > 0
+        |            THEN round((va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
+        |                         * (va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
+        |                   / ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)
+        |                      + (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)), 6)
+        |       END AS df_welch,
+        |       CASE WHEN (CAST(n_a - 1 AS DOUBLE) * va + CAST(n_b - 1 AS DOUBLE) * vb)
+        |                   / CAST(n_a + n_b - 2 AS DOUBLE) > 0
+        |            THEN round((m_a - m_b)
+        |                   / sqrt((CAST(n_a - 1 AS DOUBLE) * va + CAST(n_b - 1 AS DOUBLE) * vb)
+        |                            / CAST(n_a + n_b - 2 AS DOUBLE)), 6)
+        |       END AS cohens_d
+        |FROM v""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long").as("n_a"),
+        sum(when(col("lang") === "en", col("n_chars")).otherwise(0L))
+          .cast("long").as("s_a"),
+        sum(when(col("lang") === "en",
+          expr("cast(n_chars as decimal(38,0)) * n_chars"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q_a"),
+        sum(when(col("lang") === "en", 0L).otherwise(1L)).cast("long").as("n_b"),
+        sum(when(col("lang") === "en", 0L).otherwise(col("n_chars")))
+          .cast("long").as("s_b"),
+        sum(when(col("lang") === "en", lit(0).cast("decimal(38,0)"))
+          .otherwise(expr("cast(n_chars as decimal(38,0)) * n_chars"))).as("q_b"))
+      val v = g.select(col("n_a"), col("n_b"),
+        (col("s_a").cast("double") / col("n_a").cast("double")).as("m_a"),
+        (col("s_b").cast("double") / col("n_b").cast("double")).as("m_b"),
+        ((col("q_a").cast("double") - col("s_a").cast("double")
+          * col("s_a").cast("double") / col("n_a").cast("double"))
+          / (col("n_a") - 1).cast("double")).as("va"),
+        ((col("q_b").cast("double") - col("s_b").cast("double")
+          * col("s_b").cast("double") / col("n_b").cast("double"))
+          / (col("n_b") - 1).cast("double")).as("vb"))
+      val sa = col("va") / col("n_a").cast("double")
+      val sb = col("vb") / col("n_b").cast("double")
+      val pooled = (((col("n_a") - 1).cast("double") * col("va")
+        + (col("n_b") - 1).cast("double") * col("vb"))
+        / (col("n_a") + col("n_b") - 2).cast("double"))
+      v.select(col("n_a"), col("n_b"),
+        when(sa + sb > 0,
+          round((col("m_a") - col("m_b")) / sqrt(sa + sb), 6)).as("t_stat"),
+        when(sa + sb > 0,
+          round((sa + sb) * (sa + sb)
+            / (sa * sa / (col("n_a") - 1).cast("double")
+              + sb * sb / (col("n_b") - 1).cast("double")), 6)).as("df_welch"),
+        when(pooled > 0,
+          round((col("m_a") - col("m_b")) / sqrt(pooled), 6)).as("cohens_d"))
+    },
+
+    // ── SD1: weekday seasonal decomposition of daily revenue — the
+    // seasonality-aware layer between mc1's coupling and ad1's anomaly
+    // z-test: revenue = weekday-mean + residual, so a "drop" that is just
+    // Sunday stops paging. Exact integers end to end: the weekday index
+    // is epoch-day mod 7 (no calendar/locale call on either engine —
+    // DuckDB's dayofweek is 0=Sun..6, Spark's is 1=Sun..7, so neither is
+    // used), the weekday mean is (Σcents·1e6) div n in decimal(38,0)/
+    // HUGEINT (daily cents reach ~3e11 — ses1's documented class — so the
+    // micro product needs headroom), and the residual is an integer
+    // subtraction. 100 TB: the corpus collapses to the day-grain pre-agg
+    // in ONE keyed scan (ses1's plan class); the weekday windows run over
+    // that |days|-row table.
+    Q("sd1_weekday_decomp",
+      """WITH dc AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+        |                            '%Y-%m-%d') AS day,
+        |                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |wd AS (SELECT day, cents,
+        |         CAST(date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS BIGINT) % 7 AS dow
+        |       FROM dc),
+        |m AS (SELECT day, cents, dow,
+        |        CAST(sum(cents) OVER (PARTITION BY dow) AS BIGINT) AS s_wd,
+        |        CAST(count(*) OVER (PARTITION BY dow) AS BIGINT) AS n_wd
+        |      FROM wd)
+        |SELECT day, cents, dow,
+        |       CAST((CAST(s_wd AS HUGEINT) * 1000000) // n_wd AS BIGINT) AS wd_mean_micro,
+        |       cents * 1000000 - CAST((CAST(s_wd AS HUGEINT) * 1000000) // n_wd AS BIGINT) AS residual_micro
+        |FROM m ORDER BY day""".stripMargin) { (s, d) =>
+      val dc = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      val wd = dc.withColumn("dow",
+        expr("cast(datediff(cast(day as date), date'1970-01-01') as bigint) % 7"))
+      val win = Window.partitionBy("dow")
+      wd.withColumn("s_wd", sum("cents").over(win).cast("long"))
+        .withColumn("n_wd", count(lit(1)).over(win).cast("long"))
+        .select(col("day"), col("cents"), col("dow"),
+          expr("cast((cast(s_wd as decimal(38,0)) * 1000000) div n_wd as bigint)")
+            .as("wd_mean_micro"),
+          (col("cents") * 1000000L
+            - expr("cast((cast(s_wd as decimal(38,0)) * 1000000) div n_wd as bigint)"))
+            .as("residual_micro"))
+        .orderBy("day")
     }
   )
 }

@@ -69,7 +69,12 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // rank window, sur1's checkpointed-distinct + keyed
                    // window, tq8's broadcast star + conditional agg
                    "ks1_ks_test", "mi1_feature_mi", "gt1_good_turing",
-                   "zipf1_zipf_slope", "sur1_life_table", "tq8_market_share")) {
+                   "zipf1_zipf_slope", "sur1_life_table", "tq8_market_share",
+                   // round-12 additions: emd1's ECDF-gap decimal sums, wt1's
+                   // integer sufficient stats + 1-row double finish, sd1's
+                   // weekday windows over the day-grain pre-agg
+                   "emd1_wasserstein", "wt1_welch_ttest",
+                   "sd1_weekday_decomp")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),

@@ -240,10 +240,100 @@ class StatQueriesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  // ── emd1 ─────────────────────────────────────────────────────────────────
+
+  test("emd1: en {1,2} vs fr {2,3} is a unit shift — W1 = 1; identical gives 0") {
+    val dir = tmpDir("emd1a")
+    // ECDF gaps: score 1: |F_a-F_b| = 1/2 over gap 1; score 2: 1/2 over
+    // gap 1; last score contributes nothing -> W1 = 1 exactly (the
+    // distributions are unit translates)
+    writeDocs(dir, Seq(
+      (1L, "a", "en", "s"), (2L, "aa", "en", "s"),
+      (3L, "bb", "fr", "s"), (4L, "bbb", "fr", "s")))
+    val r = q("emd1_wasserstein").run(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (2L, 2L, 1000000L))
+
+    val same = tmpDir("emd1b")
+    writeDocs(same, Seq(
+      (1L, "a", "en", "s"), (2L, "aa", "en", "s"),
+      (3L, "b", "fr", "s"), (4L, "bb", "fr", "s")))
+    assert(q("emd1_wasserstein").run(spark, same).collect()(0).getLong(2) == 0L)
+  }
+
+  test("emd1 vs ks1: the broad-shift case W1 integrates, KS saturates") {
+    // interleaved en {1,5} / fr {3,7}: the ECDF gap is 1/2 on [1,3) and
+    // [5,7) and 0 on [3,5) — KS reads 1/2 (its max) while W1 reads 2
+    // (1/2 x 2 + 1/2 x 2) — the monitoring rationale for carrying both
+    val dir = tmpDir("emd1c")
+    writeDocs(dir, Seq(
+      (1L, "a", "en", "s"), (2L, "a" * 5, "en", "s"),
+      (3L, "b" * 3, "fr", "s"), (4L, "b" * 7, "fr", "s")))
+    assert(q("ks1_ks_test").run(spark, dir).collect()(0).getLong(3) == 500000L)
+    assert(q("emd1_wasserstein").run(spark, dir).collect()(0).getLong(2) == 2000000L)
+  }
+
+  // ── wt1 ──────────────────────────────────────────────────────────────────
+
+  test("wt1: hand-computed Welch t on {10,12} vs {1,3}") {
+    val dir = tmpDir("wt1a")
+    // m_a=11 va=2, m_b=2 vb=2 -> se2 = 1+1 = 2, t = 9/sqrt(2) = 6.363961,
+    // df = 4/(1+1) = 2, pooled var = 2 -> d = t
+    writeDocs(dir, Seq(
+      (1L, "a" * 10, "en", "s"), (2L, "a" * 12, "en", "s"),
+      (3L, "b", "fr", "s"), (4L, "bbb", "fr", "s")))
+    val r = q("wt1_welch_ttest").run(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == (2L, 2L))
+    assert(r.getDouble(2) == 6.363961 && r.getDouble(3) == 2.0 &&
+      r.getDouble(4) == 6.363961, s"got $r")
+  }
+
+  test("wt1: zero variance on both sides guards to NULL, never divides by zero") {
+    val dir = tmpDir("wt1b")
+    writeDocs(dir, Seq(
+      (1L, "aaaaa", "en", "s"), (2L, "aaaaa", "en", "s"),
+      (3L, "bbbbb", "fr", "s"), (4L, "bbbbb", "fr", "s")))
+    val r = q("wt1_welch_ttest").run(spark, dir).collect()(0)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4), s"got $r")
+  }
+
+  // ── sd1 ──────────────────────────────────────────────────────────────────
+
+  test("sd1: weekday means and residuals on a hand-built two-weekday series") {
+    import spark.implicits._
+    val dir = tmpDir("sd1")
+    // three Mondays-alike (2024-01-01/08/15 share epoch-dow) at 100/200/350
+    // cents, one lone 2024-01-02 at 500 cents
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "purchase", 1.00),
+      (2L, "2024-01-08 10:00:00", 1L, "purchase", 2.00),
+      (3L, "2024-01-15 10:00:00", 1L, "purchase", 3.50),
+      (4L, "2024-01-02 10:00:00", 1L, "purchase", 5.00))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = q("sd1_weekday_decomp").run(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    // mean for the shared dow: 650e6 div 3 = 216666666
+    assert(rows("2024-01-01") == (100L, 216666666L, -116666666L))
+    assert(rows("2024-01-08") == (200L, 216666666L, -16666666L))
+    assert(rows("2024-01-15") == (350L, 216666666L, 133333334L))
+    // a singleton weekday is its own mean: residual 0
+    assert(rows("2024-01-02") == (500L, 500000000L, 0L))
+    // same dow value for the three aligned days, different for the lone day
+    val dows = q("sd1_weekday_decomp").run(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(dows("2024-01-01") == dows("2024-01-08") &&
+      dows("2024-01-08") == dows("2024-01-15") &&
+      dows("2024-01-01") != dows("2024-01-02"))
+  }
+
   // ── determinism across runs (the family is all exact integers) ──────────
 
   for (name <- Seq("ks1_ks_test", "mi1_feature_mi", "gt1_good_turing",
-                   "zipf1_zipf_slope", "sur1_life_table", "tq8_market_share")) {
+                   "zipf1_zipf_slope", "sur1_life_table", "tq8_market_share",
+                   "emd1_wasserstein", "wt1_welch_ttest", "sd1_weekday_decomp")) {
     test(s"$name on testdata is deterministic across runs") {
       val sf = "/root/testdata/sf0.001"
       val a = SparkEntry.queries(name)(spark, sf)
