@@ -697,7 +697,17 @@ object EvalQueries {
     // EXACTNESS HORIZON t ≤ 90 (both engines, by construction): the
     // scaled term cents·2^(t−2) must fit decimal(38,0)/HUGEINT (~1e38 ⇒
     // 2^(t−2)·1e10 caps t at ~94); days past 90 emit NULL smoothed_cents
-    // on BOTH engines rather than silently-wrong values. Two hazards at
+    // on BOTH engines rather than silently-wrong values.
+    // MAGNITUDE CONTRACT (the horizon's other axis): the t ≤ 90 bound
+    // assumes daily cents ≤ ~3.2e11 (≈ $3.2B/day — ~30× the sf10 maximum);
+    // at the horizon the term is cents·2^88 ≈ cents·3.1e26, so cents past
+    // ~3.2e11 overflow decimal(38,0) — Spark's non-ANSI multiply NULLs the
+    // term (the window sum would silently skip it) while DuckDB HUGEINT
+    // stays exact to ~5.5e11 then ERRORS: a silent-divergence mode. A
+    // corpus near that magnitude must shorten the horizon (t ≤ 90 −
+    // log2(cents/3.2e11)) or rescale cents; tools/test_ses1_horizon.py
+    // replays the 130-day fixture through the DuckDB oracle to pin the
+    // in-bound behavior. Two hazards at
     // t > 64 are avoided explicitly: Java's long `<<` masks the shift
     // count mod 64 (so Spark's shiftleft(1L, t−2) would WRAP where
     // DuckDB's HUGEINT << stays exact — wrong answers with no error),

@@ -1019,6 +1019,94 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // ── TQ18: large-volume-order lookup (TPC-H Q18's shape) — which
+    // customers placed orders whose TOTAL line quantity tops 250? The
+    // decorrelation lesson: the literal form is a correlated IN-subquery
+    // per order; the scale form runs the HAVING as a map-side-combinable
+    // keyed agg over lineitem ALONE (one narrow (orderkey, qty) scan, no
+    // join upstream), and only the ~1% survivors ever join orders and
+    // customer — at 100 TB the filter kills 99% of the fact table before
+    // the first join byte moves. Quantities are exact integers
+    // (cast(round) — the corpus stores integral quantities as doubles);
+    // o_totalprice rides the cents contract; the top-100 is
+    // TakeOrderedAndProject on the (total_cents desc, o_orderkey) total
+    // order — K·P rows cross the wire, never a global sort.
+    Q("tq18_big_orders",
+      """WITH q AS (SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |           FROM lineitem GROUP BY 1 HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+        |SELECT c.c_name, o.o_custkey, o.o_orderkey,
+        |       strftime(date_trunc('day', o.o_orderdate), '%Y-%m-%d') AS order_day,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+        |       q.sum_qty
+        |FROM q JOIN orders o ON q.l_orderkey = o.o_orderkey
+        |       JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY total_cents DESC, o.o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      val q = lineitem(s, d)
+        .select(col("l_orderkey"),
+          expr("cast(round(l_quantity) as bigint)").as("qty"))
+        .groupBy("l_orderkey").agg(sum("qty").cast("long").as("sum_qty"))
+        .filter(col("sum_qty") > 250L)
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        date_format(date_trunc("day", col("o_orderdate")), fmtD).as("order_day"),
+        cents(col("o_totalprice")).as("total_cents"))
+      val c = customer(s, d).select("c_custkey", "c_name")
+      q.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+          col("order_day"), col("total_cents"), col("sum_qty"))
+        .orderBy(col("total_cents").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // ── TQ21: suppliers who kept orders waiting (TPC-H Q21's shape on
+    // this schema: "late" = shipped > 1000 days after the order date,
+    // this corpus's p90 lag) — for each supplier, how many multi-supplier
+    // orders was it the ONLY late supplier of? The decorrelation
+    // showcase: the literal form is EXISTS (another supplier in the
+    // order) AND NOT EXISTS (another LATE supplier) — two extra
+    // lineitem self-joins, three fact shuffles. The aggregate form does
+    // ONE fact-fact join (lineitem⋈orders, both sides column-pruned) and
+    // ONE keyed agg per order — n_supp = count(distinct supplier),
+    // n_late = count(distinct late supplier), and when n_late = 1 the
+    // offender IS max(late supplier) — then a supplier-keyed rollup.
+    // The two-distinct agg expands 2× (bounded); supplier broadcasts;
+    // the top-100 is TakeOrdered on the (numwait desc, s_name) total
+    // order (s_name is unique).
+    Q("tq21_late_supplier",
+      """WITH j AS (SELECT l.l_orderkey, l.l_suppkey,
+        |             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 1000 DAY
+        |                  THEN 1 ELSE 0 END AS late
+        |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |po AS (SELECT l_orderkey,
+        |         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |         CAST(count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS BIGINT) AS n_late,
+        |         max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+        |       FROM j GROUP BY 1)
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM po JOIN supplier s ON po.late_supp = s.s_suppkey
+        |WHERE po.n_supp >= 2 AND po.n_late = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, d) =>
+      val j = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          when(col("l_shipdate") > col("o_orderdate")
+            + expr("INTERVAL 1000 DAYS"), 1).otherwise(0).as("late"))
+      val po = j.groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).cast("long").as("n_supp"),
+          countDistinct(when(col("late") === 1, col("l_suppkey")))
+            .cast("long").as("n_late"),
+          max(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
+      po.filter(col("n_supp") >= 2L && col("n_late") === 1L)
+        .groupBy("late_supp")
+        .agg(count(lit(1)).cast("long").as("numwait"))
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+          col("late_supp") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+
     // ── MV1: incremental materialized-view refresh — the daily revenue
     // rollup computed as COMBINE(partial over 90% "history", partial over
     // the 10% "delta") via graft.operators.IncrementalAgg; the oracle is

@@ -587,6 +587,241 @@ object StatQueries {
             - expr("cast((cast(s_wd as decimal(38,0)) * 1000000) div n_wd as bigint)"))
             .as("residual_micro"))
         .orderBy("day")
+    },
+
+    // ── JS1: Jensen–Shannon divergence between the en and non-en length
+    // distributions — the SYMMETRIC, always-finite drift scalar beside
+    // ks1 (worst ECDF point) and emd1 (ECDF integral): JSD reads
+    // per-cell mass disagreement, is bounded by ln 2, and never blows up
+    // on cells one side lacks (KL's failure mode). Carried exactly on
+    // ks1's distinct-score cell table via the common-denominator device:
+    // with a_i = ca_i·n_b and b_i = cb_i·n_a (both sides normalized to
+    // D = n_a·n_b), D·KL(P‖M) = Σ a_i·(ln2 + ln a_i − ln(a_i+b_i)) —
+    // every ln runs on an EXACT integer (t11's micro-ln contract), the
+    // a_i·micro products are cast-BEFORE-sum decimal(38,0)/HUGEINT
+    // (a_i alone passes 2^63 at ~3e9 docs/side), and the two one-sided
+    // sums land as js_micro = (sa+sb) div (2·D). Each KL(·‖M) ≥ 0
+    // analytically, but micro-ln rounding can leave an epsilon-negative
+    // total, so every division travels as sign·(abs div d) (mi1's
+    // device); an empty side (D = 0) guards to NULL on both engines.
+    // 100 TB: identical plan class to ks1/emd1 — one keyed agg to the
+    // domain-bounded score table, a 1-row broadcast of the totals, and
+    // the term sum over THAT bounded table. BOUNDED-WINDOW CONTRACT:
+    // no window at all — the only non-agg intermediate is the cell
+    // table, bounded by the score domain (spec pins it ≪ corpus).
+    Q("js1_jensen_shannon", {
+      val lnAi = lnMicroSql("CAST(ai AS DOUBLE)")
+      val lnBi = lnMicroSql("CAST(bi AS DOUBLE)")
+      val lnM = lnMicroSql("CAST(ai + bi AS DOUBLE)")
+      val ln2 = lnMicroSql("2")
+      s"""WITH s AS (SELECT n_chars AS score,
+         |             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS a,
+         |             CAST(CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS BIGINT) AS b
+         |           FROM documents),
+         |g AS (SELECT score, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+         |      FROM s GROUP BY 1),
+         |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM g),
+         |m AS (SELECT n_a, n_b,
+         |        CAST(ca AS HUGEINT) * n_b AS ai, CAST(cb AS HUGEINT) * n_a AS bi
+         |      FROM g CROSS JOIN t),
+         |e AS (SELECT n_a, n_b,
+         |        CASE WHEN ai > 0 THEN ai * ($ln2 + $lnAi - $lnM)
+         |             ELSE CAST(0 AS HUGEINT) END AS ta,
+         |        CASE WHEN bi > 0 THEN bi * ($ln2 + $lnBi - $lnM)
+         |             ELSE CAST(0 AS HUGEINT) END AS tb
+         |      FROM m),
+         |f AS (SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+         |        CAST(count(*) AS BIGINT) AS n_cells,
+         |        sum(ta) AS sa, sum(tb) AS sb,
+         |        CAST(max(n_a) AS HUGEINT) * max(n_b) AS dd
+         |      FROM e)
+         |SELECT n_a, n_b, n_cells,
+         |       CASE WHEN dd > 0 THEN
+         |         CAST(CAST(sign(sa) AS BIGINT) * (abs(sa) // dd) AS BIGINT) END AS kl_a_micro,
+         |       CASE WHEN dd > 0 THEN
+         |         CAST(CAST(sign(sb) AS BIGINT) * (abs(sb) // dd) AS BIGINT) END AS kl_b_micro,
+         |       CASE WHEN dd > 0 THEN
+         |         CAST(CAST(sign(sa + sb) AS BIGINT)
+         |           * (abs(sa + sb) // (2 * dd)) AS BIGINT) END AS js_micro
+         |FROM f""".stripMargin
+    }) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .select(col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("a"),
+          when(col("lang") === "en", 0L).otherwise(1L).as("b"))
+        .groupBy("score")
+        .agg(sum("a").cast("long").as("ca"), sum("b").cast("long").as("cb"))
+      val tot = g.agg(sum("ca").cast("long").as("n_a"),
+        sum("cb").cast("long").as("n_b"))
+      val m = g.crossJoin(broadcast(tot))
+        .select(col("n_a"), col("n_b"),
+          (col("ca").cast("decimal(38,0)") * col("n_b")).as("ai"),
+          (col("cb").cast("decimal(38,0)") * col("n_a")).as("bi"))
+      val z = lit(0).cast("decimal(38,0)")
+      val e = m.select(col("n_a"), col("n_b"),
+        when(col("ai") > 0,
+          col("ai") * (lnMicro(lit(2)) + lnMicro(col("ai"))
+            - lnMicro(col("ai") + col("bi")))).otherwise(z).as("ta"),
+        when(col("bi") > 0,
+          col("bi") * (lnMicro(lit(2)) + lnMicro(col("bi"))
+            - lnMicro(col("ai") + col("bi")))).otherwise(z).as("tb"))
+      e.agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+          count(lit(1)).cast("long").as("n_cells"),
+          sum("ta").as("sa"), sum("tb").as("sb"))
+        .withColumn("dd", col("n_a").cast("decimal(38,0)") * col("n_b"))
+        .select(col("n_a"), col("n_b"), col("n_cells"),
+          when(col("dd") > 0, expr(
+            "cast(cast(sign(sa) as bigint) * (abs(sa) div dd) as bigint)"))
+            .as("kl_a_micro"),
+          when(col("dd") > 0, expr(
+            "cast(cast(sign(sb) as bigint) * (abs(sb) div dd) as bigint)"))
+            .as("kl_b_micro"),
+          when(col("dd") > 0, expr(
+            "cast(cast(sign(sa + sb) as bigint)" +
+              " * (abs(sa + sb) div (2 * dd)) as bigint)"))
+            .as("js_micro"))
+    },
+
+    // ── ACF1: autocorrelation of the daily-revenue series at lags 1..7 —
+    // the periodicity detector between sd1 (which REMOVES the weekday
+    // component you already know about) and mc1 (which correlates two
+    // DIFFERENT series): a spike at lag 7 says "weekly rhythm", decay
+    // says "momentum". Convention pinned for both engines: both factors
+    // center on the FULL-series mean, the lag-k numerator sums t = 1..n−k,
+    // the denominator is the full Σ(x_t−x̄)² — the standard ACF estimator.
+    // Exact integers: multiplying through by n² makes every centered
+    // factor integral ((n·x_t − S)), products cast-BEFORE-sum into
+    // decimal(38,0)/HUGEINT (a factor reaches ~1e15 at 100 TB, products
+    // 1e30); the terminal ppm divides by (den div 1e6) — zipf1's
+    // documented double-truncation, identical on both engines — and a
+    // near-constant series (den < 1e6) guards to NULL symmetrically.
+    // 100 TB: the corpus collapses to the day-grain pre-agg in ONE keyed
+    // scan (sd1's class); the lag self-join and windows run over that
+    // |days|-row table only. BOUNDED-WINDOW CONTRACT: the row_number
+    // window and the ×7-lag self-join input is the day table (|days|
+    // rows — ses1's class), never the corpus.
+    Q("acf1_autocorrelation",
+      """WITH dc AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+        |                            '%Y-%m-%d') AS day,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT cents, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t FROM dc),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s FROM r),
+        |dn AS (SELECT sum(CAST(n * cents - s AS HUGEINT) * (n * cents - s)) AS den
+        |       FROM r CROSS JOIN tt),
+        |lg AS (SELECT CAST(lag AS BIGINT) AS lag
+        |       FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) AS v(lag)),
+        |p AS (SELECT l.lag, tt.n, tt.s,
+        |        CAST(tt.n * x.cents - tt.s AS HUGEINT)
+        |          * (tt.n * y.cents - tt.s) AS prod
+        |      FROM lg l CROSS JOIN tt
+        |        JOIN r x ON true
+        |        JOIN r y ON y.t = x.t + l.lag)
+        |SELECT p.lag, max(p.n) AS n_days, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CASE WHEN max(dn.den) >= 1000000 THEN
+        |         CAST(CAST(sign(sum(p.prod)) AS BIGINT)
+        |           * (abs(sum(p.prod)) // (max(dn.den) // 1000000)) AS BIGINT)
+        |       END AS acf_ppm
+        |FROM p CROSS JOIN dn
+        |GROUP BY p.lag ORDER BY p.lag""".stripMargin) { (s, d) =>
+      val dc = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      val r = dc.select(col("cents"),
+        row_number().over(Window.orderBy("day")).cast("long").as("t"))
+      val tt = r.agg(count(lit(1)).cast("long").as("n"),
+        sum("cents").cast("long").as("s"))
+      val dn = r.crossJoin(broadcast(tt))
+        .agg(sum(((col("n") * col("cents") - col("s")).cast("decimal(38,0)")
+          * (col("n") * col("cents") - col("s"))).cast("decimal(38,0)")).as("den"))
+      val lags = s.range(1, 8).select(col("id").as("lag"))
+      val x = r.select(col("cents").as("cx"), col("t").as("tx"))
+      val y = r.select(col("cents").as("cy"), col("t").as("ty"))
+      val p = lags.crossJoin(broadcast(tt))
+        .crossJoin(x)
+        .join(y, col("ty") === col("tx") + col("lag"))
+        .select(col("lag"),
+          col("n"),
+          ((col("n") * col("cx") - col("s")).cast("decimal(38,0)")
+            * (col("n") * col("cy") - col("s"))).cast("decimal(38,0)").as("prod"))
+      p.crossJoin(broadcast(dn))
+        .groupBy("lag")
+        .agg(max("n").as("n_days"), count(lit(1)).cast("long").as("n_pairs"),
+          sum("prod").as("num"), max("den").as("den"))
+        .select(col("lag"), col("n_days"), col("n_pairs"),
+          when(col("den") >= 1000000L, expr(
+            "cast(cast(sign(num) as bigint)" +
+              " * (abs(num) div (den div 1000000)) as bigint)"))
+            .as("acf_ppm"))
+        .orderBy("lag")
+    },
+
+    // ── THEIL1: Theil–Sen robust trend of the daily-revenue series — the
+    // slope estimator that survives the outlier days ols1's least squares
+    // is dragged by (breakdown point 29% vs 0%): the MEDIAN of all
+    // pairwise slopes (c_j−c_i)/(t_j−t_i), plus the median-residual
+    // intercept. Slopes are exact integer micro-units — sign(dc)·
+    // (|dc|·1e6 div dt) fits BIGINT to ~9e12 daily cents — and both
+    // medians are LOWER medians picked by row_number over a TOTAL order
+    // ((slope, t_i, t_j) / (resid, t)), so both engines select the
+    // identical element; no averaging of middle pairs, no floats at all.
+    // 100 TB: the corpus collapses to the day-grain pre-agg in ONE keyed
+    // scan; the O(|days|²) pair grid, the median windows, and the
+    // intercept pass all run over that bounded table (≈ 66k pairs even
+    // for a 10-year daily series). BOUNDED-WINDOW CONTRACT: every window
+    // input is the day table or its pair grid, never the corpus.
+    Q("theil1_theil_sen",
+      """WITH dc AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+        |                            '%Y-%m-%d') AS day,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT cents, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t FROM dc),
+        |p AS (SELECT x.t AS ti, y.t AS tj,
+        |        CAST(CAST(sign(y.cents - x.cents) AS BIGINT)
+        |          * ((abs(y.cents - x.cents) * 1000000) // (y.t - x.t)) AS BIGINT)
+        |          AS slope_micro
+        |      FROM r x JOIN r y ON y.t > x.t),
+        |q AS (SELECT slope_micro,
+        |        CAST(row_number() OVER (ORDER BY slope_micro, ti, tj) AS BIGINT) AS rn,
+        |        CAST(count(*) OVER () AS BIGINT) AS cnt
+        |      FROM p),
+        |sl AS (SELECT slope_micro, cnt AS n_pairs FROM q WHERE rn = (cnt + 1) // 2),
+        |res AS (SELECT r.cents * 1000000 - sl.slope_micro * r.t AS resid, r.t,
+        |          sl.slope_micro, sl.n_pairs,
+        |          CAST(row_number() OVER (ORDER BY r.cents * 1000000 - sl.slope_micro * r.t, r.t) AS BIGINT) AS rn,
+        |          CAST(count(*) OVER () AS BIGINT) AS n_days
+        |        FROM r CROSS JOIN sl)
+        |SELECT n_days, n_pairs, slope_micro, CAST(resid AS BIGINT) AS icept_micro
+        |FROM res WHERE rn = (n_days + 1) // 2""".stripMargin) { (s, d) =>
+      val dc = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      val r = dc.select(col("cents"),
+        row_number().over(Window.orderBy("day")).cast("long").as("t"))
+      val x = r.select(col("cents").as("cx"), col("t").as("ti"))
+      val y = r.select(col("cents").as("cy"), col("t").as("tj"))
+      val p = x.join(y, col("tj") > col("ti"))
+        .select(col("ti"), col("tj"),
+          (signum(col("cy") - col("cx")).cast("long")
+            * expr("(abs(cy - cx) * 1000000) div (tj - ti)")).as("slope_micro"))
+      val wq = Window.orderBy("slope_micro", "ti", "tj")
+      val q = p.withColumn("rn", row_number().over(wq).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).cast("long"))
+      val sl = q.filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("slope_micro"), col("cnt").as("n_pairs"))
+      val res = r.crossJoin(broadcast(sl))
+        .select(col("t"), col("slope_micro"), col("n_pairs"),
+          (col("cents") * 1000000L - col("slope_micro") * col("t")).as("resid"))
+      val wr = Window.orderBy("resid", "t")
+      res.withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("n_days", count(lit(1)).over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).cast("long"))
+        .filter(col("rn") === expr("(n_days + 1) div 2"))
+        .select(col("n_days"), col("n_pairs"), col("slope_micro"),
+          col("resid").cast("long").as("icept_micro"))
     }
   )
 }

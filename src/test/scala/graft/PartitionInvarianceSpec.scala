@@ -74,7 +74,15 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // integer sufficient stats + 1-row double finish, sd1's
                    // weekday windows over the day-grain pre-agg
                    "emd1_wasserstein", "wt1_welch_ttest",
-                   "sd1_weekday_decomp")) {
+                   "sd1_weekday_decomp",
+                   // wave 2: js1's decimal cell sums over a 1-row broadcast,
+                   // acf1's lag self-join + decimal products, theil1's
+                   // total-ordered median row_number windows
+                   "js1_jensen_shannon", "acf1_autocorrelation",
+                   "theil1_theil_sen",
+                   // tq18/tq21: two-distinct Expand aggs + TakeOrdered on
+                   // total (cents desc, key) / (numwait desc, name) orders
+                   "tq18_big_orders", "tq21_late_supplier")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),

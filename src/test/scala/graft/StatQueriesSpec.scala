@@ -329,11 +329,138 @@ class StatQueriesSpec extends SparkSpec {
       dows("2024-01-01") != dows("2024-01-02"))
   }
 
+  private def writeEvents(dir: String, rows: Seq[(Long, String, Double)]): Unit = {
+    import spark.implicits._
+    rows.map { case (id, ts, v) => (id, ts, 1L, "purchase", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  // ── js1 ──────────────────────────────────────────────────────────────────
+
+  test("js1: disjoint supports give the ln 2 maximum; identical give 0") {
+    val dir = tmpDir("js1a")
+    // en lengths {1,1} vs fr {2,2}: every cell is one-sided, so
+    // KL(P||M) = KL(Q||M) = JS = ln 2 = 693147 micro exactly
+    writeDocs(dir, Seq(
+      (1L, "a", "en", "s"), (2L, "b", "en", "s"),
+      (3L, "cc", "fr", "s"), (4L, "dd", "fr", "s")))
+    val r = q("js1_jensen_shannon").run(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (2L, 2L, 2L))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      (693147L, 693147L, 693147L), s"got $r")
+
+    val same = tmpDir("js1b")
+    // en {1,2} vs fr {1,2}: ai = bi in every cell -> each micro-ln term is
+    // exactly 693147 + 693147 - 1386294 = 0
+    writeDocs(same, Seq(
+      (1L, "a", "en", "s"), (2L, "aa", "en", "s"),
+      (3L, "b", "fr", "s"), (4L, "bb", "fr", "s")))
+    val r2 = q("js1_jensen_shannon").run(spark, same).collect()(0)
+    assert((r2.getLong(3), r2.getLong(4), r2.getLong(5)) == (0L, 0L, 0L))
+  }
+
+  test("js1: an empty side guards to NULL, never divides by zero") {
+    val dir = tmpDir("js1c")
+    writeDocs(dir, Seq((1L, "a", "en", "s"), (2L, "aa", "en", "s")))
+    val r = q("js1_jensen_shannon").run(spark, dir).collect()(0)
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5), s"got $r")
+  }
+
+  test("js1: the cell table is score-grain bounded, not corpus-sized") {
+    // same bounded contract as ks1 — js1's only intermediate is the
+    // distinct-score cell table; no window at all in the plan
+    val sf = "/root/testdata/sf0.001"
+    val scores = Tables.documents(spark, sf).select("n_chars").distinct().count()
+    assert(scores <= 8192)
+    val p = q("js1_jensen_shannon").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"unexpected window in js1 plan:\n$p")
+  }
+
+  // ── acf1 ─────────────────────────────────────────────────────────────────
+
+  test("acf1: hand-computed ACF on cents {1000,2000,3000,4000}") {
+    val dir = tmpDir("acf1a")
+    // n=4, S=10000; centered n*x-S = {-6000,-2000,2000,6000},
+    // den = 2*(36e6+4e6) = 8e7 -> den div 1e6 = 80... no: den = 72e6+8e6?
+    // 36e6 + 4e6 + 4e6 + 36e6 = 80e6 -> den div 1e6 = 80
+    // lag1: 12e6 - 4e6 + 12e6 = 20e6 -> 20e6 div 80 = 250000
+    // lag2: -12e6 - 12e6 = -24e6 -> -300000
+    // lag3: -36e6 -> -450000; lags 4..7 have no pairs -> no rows
+    writeEvents(dir, Seq(
+      (1L, "2024-01-01 10:00:00", 10.00), (2L, "2024-01-02 10:00:00", 20.00),
+      (3L, "2024-01-03 10:00:00", 30.00), (4L, "2024-01-04 10:00:00", 40.00)))
+    val rows = q("acf1_autocorrelation").run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L) == (4L, 3L, 250000L), s"got ${rows(1L)}")
+    assert(rows(2L) == (4L, 2L, -300000L))
+    assert(rows(3L) == (4L, 1L, -450000L))
+  }
+
+  test("acf1: a constant series (den = 0) guards acf to NULL") {
+    val dir = tmpDir("acf1b")
+    writeEvents(dir, Seq(
+      (1L, "2024-01-01 10:00:00", 10.00), (2L, "2024-01-02 10:00:00", 10.00),
+      (3L, "2024-01-03 10:00:00", 10.00)))
+    val rows = q("acf1_autocorrelation").run(spark, dir).collect()
+    assert(rows.nonEmpty && rows.forall(_.isNullAt(3)))
+  }
+
+  test("acf1: the lag grid input is the day table, not the corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val days = Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts"))).distinct().count()
+    val events = Tables.events(spark, sf).count()
+    assert(days < events, s"day table ($days) not below corpus ($events)")
+    // the day-grain HashAggregate sits upstream of the row_number window
+    val p = q("acf1_autocorrelation").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    val winAt = p.indexOf("Window")
+    assert(winAt >= 0 && p.indexOf("HashAggregate", winAt) >= 0,
+      s"day-grain aggregate not upstream of the window:\n$p")
+  }
+
+  // ── theil1 ───────────────────────────────────────────────────────────────
+
+  test("theil1: hand-computed median slope and intercept on {100,300,200,400}") {
+    val dir = tmpDir("th1a")
+    // pairwise slopes (micro): 200e6, 50e6, 100e6, -100e6, 50e6, 200e6;
+    // sorted with (ti,tj) ties: -100e6, 50e6(1,3), 50e6(2,4), 100e6,
+    // 200e6(1,2), 200e6(3,4) -> rn (6+1)//2 = 3 -> slope = 50e6.
+    // residuals cents*1e6 - 50e6*t = {50e6, 200e6, 50e6, 200e6};
+    // sorted by (resid, t): rn (4+1)//2 = 2 -> icept = 50e6 (t=3)
+    writeEvents(dir, Seq(
+      (1L, "2024-01-01 10:00:00", 1.00), (2L, "2024-01-02 10:00:00", 3.00),
+      (3L, "2024-01-03 10:00:00", 2.00), (4L, "2024-01-04 10:00:00", 4.00)))
+    val r = q("theil1_theil_sen").run(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (4L, 6L, 50000000L, 50000000L), s"got $r")
+  }
+
+  test("theil1: one outlier day does not move the median slope (OLS would)") {
+    val dir = tmpDir("th1b")
+    // clean trend 100 cents/day for t=1..4, then a 5000-cent day-5 spike:
+    // the four spike pairs rank above the six clean 100e6 slopes, and the
+    // lower median (rn 5 of 10) still reads 100e6
+    writeEvents(dir, Seq(
+      (1L, "2024-01-01 10:00:00", 1.00), (2L, "2024-01-02 10:00:00", 2.00),
+      (3L, "2024-01-03 10:00:00", 3.00), (4L, "2024-01-04 10:00:00", 4.00),
+      (5L, "2024-01-05 10:00:00", 50.00)))
+    val r = q("theil1_theil_sen").run(spark, dir).collect()(0)
+    assert((r.getLong(1), r.getLong(2)) == (10L, 100000000L), s"got $r")
+  }
+
   // ── determinism across runs (the family is all exact integers) ──────────
 
   for (name <- Seq("ks1_ks_test", "mi1_feature_mi", "gt1_good_turing",
                    "zipf1_zipf_slope", "sur1_life_table", "tq8_market_share",
-                   "emd1_wasserstein", "wt1_welch_ttest", "sd1_weekday_decomp")) {
+                   "emd1_wasserstein", "wt1_welch_ttest", "sd1_weekday_decomp",
+                   "js1_jensen_shannon", "acf1_autocorrelation",
+                   "theil1_theil_sen")) {
     test(s"$name on testdata is deterministic across runs") {
       val sf = "/root/testdata/sf0.001"
       val a = SparkEntry.queries(name)(spark, sf)
