@@ -113,6 +113,36 @@ object AnalyticsQueries {
     labels
   }
 
+  /** Bounded k-core peel over undirected edges `(a, b)`: `rounds`
+    * synchronous rounds of "drop every node whose degree < k, then drop
+    * edges touching a dropped node", emitting one (round, n_nodes,
+    * n_edges) row per round. The fixpoint is reached when two consecutive
+    * rows agree — the caller reads convergence off the rows, and both
+    * engines replay the SAME bounded recursion (lp1/gr1's fixed-round
+    * class: an unbounded while-loop can never hash-match an oracle).
+    * Per round: ONE keyed degree shuffle + two semi-joins; edges
+    * localCheckpoint between rounds so iterative lineage doesn't stack.
+    */
+  def kCore(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = edges0
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val deg = edges.select(col("a").as("u")).unionAll(edges.select(col("b")))
+        .groupBy("u").agg(count(lit(1)).as("dg"))
+      val alive = deg.filter(col("dg") >= k.toLong).select("u")
+      edges = edges
+        .join(alive.select(col("u").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("u").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      val row = alive.agg(count(lit(1)).cast("long").as("n_nodes"))
+        .crossJoin(edges.agg(count(lit(1)).cast("long").as("n_edges")))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+      out = if (out == null) row else out.unionByName(row)
+    }
+    out.orderBy("round")
+  }
+
   def all: Seq[Q] = Seq(
 
     // ── FI1: frequent co-ordered part pairs (association mining's 2-itemset
@@ -229,6 +259,51 @@ object AnalyticsQueries {
         .groupBy("n").agg(count(lit(1)).as("n_tri"))
         .select(col("n").as("node"), col("n_tri"))
         .orderBy(col("n_tri").desc, col("node")).limit(20)
+    },
+
+    // ── KC1: k-core decomposition (bounded peel) over the PART
+    // co-purchase graph — the density filter the graph family lacked:
+    // gr2 counts triangles (local density), dd6 merges components
+    // (reachability); the k-core is the maximal subgraph where EVERY
+    // node keeps ≥ k neighbors — the "dense nucleus" recommendation and
+    // fraud pipelines cut to. k = 80 on the part graph (median degree
+    // ~115 at sf0.01, so the peel genuinely iterates: 5 rounds to the
+    // fixpoint there). Six UNROLLED rounds, convergence read off two
+    // consecutive equal rows — the fixed-round contract (lp1/gr1's
+    // class) both engines replay identically; the oracle is the same
+    // six rounds as materialized CTEs. Edges build through the capped
+    // collector (order fanout ≤ 16 — lines/order is structurally ~13 on
+    // this schema, so the cap is a pure adversarial guard, pinned in
+    // the oracle as NOT EXISTS hot). Per round: ONE keyed degree
+    // shuffle + two semi-joins, edges localCheckpointed between rounds.
+    // 100 TB: pair explosion is O(|orders|·cap²) narrow generation (no
+    // self-join), round count is fixed, and every per-round shuffle
+    // keys on the node id — the whole peel is 18 bounded shuffles
+    // whatever the corpus size.
+    Q("kc1_kcore", {
+      val roundCtes = (1 to 6).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT u, count(*) AS dg
+           |  FROM (SELECT a AS u FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
+           |a$r AS MATERIALIZED (SELECT u FROM d$r WHERE dg >= 80),
+           |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+           |  WHERE a IN (SELECT u FROM a$r) AND b IN (SELECT u FROM a$r))""".stripMargin
+      }.mkString(",\n")
+      val roundRows = (1 to 6).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS round," +
+          s" (SELECT CAST(count(*) AS BIGINT) FROM a$r) AS n_nodes," +
+          s" (SELECT CAST(count(*) AS BIGINT) FROM e$r) AS n_edges"
+      }.mkString(" UNION ALL ")
+      s"""WITH inc AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+         |hot AS (SELECT o FROM inc GROUP BY o HAVING count(*) > 16),
+         |e0 AS MATERIALIZED (SELECT DISTINCT x.s AS a, y.s AS b
+         |  FROM inc x JOIN inc y ON x.o = y.o AND x.s < y.s
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.o = x.o)),
+         |$roundCtes
+         |SELECT * FROM ($roundRows) ORDER BY round""".stripMargin
+    }) { (s, d) =>
+      val base = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("s"))
+      kCore(coPurchaseEdges(base, maxOrderFanout = Some(16)), k = 80, rounds = 6)
     },
 
     // ── LP1: community detection by synchronous majority-vote label

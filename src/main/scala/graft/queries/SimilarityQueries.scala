@@ -452,6 +452,140 @@ object SimilarityQueries {
     },
 
     // ── SIM4: per-label centroids — the IVF coarse-quantizer / k-means
+    // ── EMB8: IVF-PQ with exact refinement (the FAISS `refine` pattern —
+    // Jégou et al. 2011 §V / IndexRefineFlat): emb4's compressed ADC scan
+    // is the cheap first stage, but PQ distances are approximations and
+    // the top of the list can be mis-ordered; the production fix is a
+    // 4×-overfetch shortlist by ADC, then EXACT distances on the raw
+    // vectors for ONLY those candidates, re-ranked to the final top-3.
+    // 100 TB: the corpus is touched as codes (16 bytes/vector) in the ADC
+    // stage; full float vectors are fetched by a broadcast semi-join of
+    // the (queries × 12)-row shortlist — the refine stage reads
+    // |shortlist| vectors, not the corpus. Exact distances ride the
+    // family's ×10000 fixed-point contract; every rank window partitions
+    // by query over ≤ 12 candidate rows.
+    Q("emb8_ivfpq_refine", {
+      val adcChain = // emb4's trained-codebook ADC pipeline, verbatim
+        """WITH s AS (SELECT CAST(range AS INT) AS sub FROM range(8)),
+          |dims AS (SELECT CAST(range AS INT) AS i FROM range(8)),
+          |c8 AS (SELECT vec_id AS lid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+          |dc AS (SELECT e.vec_id, c.lid,
+          |         round(sum((CAST(e.embedding[r.range+1] AS DOUBLE) - CAST(c.ce[r.range+1] AS DOUBLE))
+          |                 * (CAST(e.embedding[r.range+1] AS DOUBLE) - CAST(c.ce[r.range+1] AS DOUBLE))), 4) AS dist
+          |       FROM embeddings e, c8 c, range(64) r GROUP BY 1, 2),
+          |asn AS (SELECT vec_id, lid FROM (
+          |          SELECT vec_id, lid, row_number() OVER (
+          |            PARTITION BY vec_id ORDER BY dist, lid) AS rn FROM dc)
+          |        WHERE rn = 1),
+          |probe AS (SELECT vec_id AS qid, lid FROM (
+          |            SELECT vec_id, lid, row_number() OVER (
+          |              PARTITION BY vec_id ORDER BY dist, lid) AS rn FROM dc
+          |            WHERE vec_id < 8)
+          |          WHERE rn <= 2),
+          |sv AS (SELECT e.vec_id, s.sub, d.i AS dim,
+          |              CAST(e.embedding[s.sub*8 + d.i + 1] AS DOUBLE) AS x
+          |       FROM embeddings e, s, dims d),
+          |b0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cid, dim, x AS c
+          |       FROM sv WHERE vec_id < 4),
+          |d1 AS (SELECT v.vec_id, v.sub, b.cid,
+          |              round(sum((v.x - b.c) * (v.x - b.c)), 4) AS dist
+          |       FROM sv v JOIN b0 b ON b.sub = v.sub AND b.dim = v.dim
+          |       GROUP BY 1, 2, 3),
+          |a1 AS (SELECT vec_id, sub, cid FROM (
+          |         SELECT vec_id, sub, cid, row_number() OVER (
+          |           PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d1)
+          |       WHERE rn = 1),
+          |m1 AS (SELECT a.sub, a.cid, v.dim, round(avg(v.x), 6) AS c
+          |       FROM a1 a JOIN sv v ON v.vec_id = a.vec_id AND v.sub = a.sub
+          |       GROUP BY 1, 2, 3),
+          |b1 AS (SELECT b0.sub, b0.cid, b0.dim, coalesce(m1.c, b0.c) AS c
+          |       FROM b0 LEFT JOIN m1 ON m1.sub = b0.sub AND m1.cid = b0.cid
+          |                           AND m1.dim = b0.dim),
+          |d2 AS (SELECT v.vec_id, v.sub, b.cid,
+          |              round(sum((v.x - b.c) * (v.x - b.c)), 4) AS dist
+          |       FROM sv v JOIN b1 b ON b.sub = v.sub AND b.dim = v.dim
+          |       GROUP BY 1, 2, 3),
+          |codes AS (SELECT vec_id, sub, cid AS code FROM (
+          |            SELECT vec_id, sub, cid, row_number() OVER (
+          |              PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM d2)
+          |          WHERE rn = 1),
+          |dt AS (SELECT v.vec_id AS qid, v.sub, b.cid AS code,
+          |              CAST(round(sum((v.x - b.c) * (v.x - b.c)) * 10000) AS BIGINT) AS dfp
+          |       FROM sv v JOIN b1 b ON b.sub = v.sub AND b.dim = v.dim
+          |       WHERE v.vec_id < 8 GROUP BY 1, 2, 3),
+          |cand AS (SELECT p.qid, c.vec_id, c.sub, c.code
+          |         FROM codes c JOIN asn a ON a.vec_id = c.vec_id
+          |                      JOIN probe p ON p.lid = a.lid),
+          |ad AS (SELECT cand.qid, cand.vec_id AS nid, CAST(sum(dt.dfp) AS BIGINT) AS adist_fp
+          |       FROM cand JOIN dt ON dt.qid = cand.qid AND dt.sub = cand.sub
+          |                        AND dt.code = cand.code
+          |       GROUP BY 1, 2)""".stripMargin
+      adcChain +
+        """,
+          |short AS (SELECT qid, nid FROM (
+          |            SELECT qid, nid, row_number() OVER (
+          |              PARTITION BY qid ORDER BY adist_fp, nid) AS rn FROM ad)
+          |          WHERE rn <= 12),
+          |ex AS (SELECT sh.qid, sh.nid,
+          |         CAST(round(sum((CAST(q.embedding[r.range+1] AS DOUBLE) - CAST(v.embedding[r.range+1] AS DOUBLE))
+          |                      * (CAST(q.embedding[r.range+1] AS DOUBLE) - CAST(v.embedding[r.range+1] AS DOUBLE)))
+          |                    * 10000) AS BIGINT) AS dist_fp
+          |       FROM short sh JOIN embeddings q ON q.vec_id = sh.qid
+          |                     JOIN embeddings v ON v.vec_id = sh.nid, range(64) r
+          |       GROUP BY 1, 2)
+          |SELECT qid, nid, dist_fp FROM (
+          |  SELECT qid, nid, dist_fp, row_number() OVER (
+          |    PARTITION BY qid ORDER BY dist_fp, nid) AS rn FROM ex)
+          |WHERE rn <= 3 ORDER BY qid, dist_fp, nid""".stripMargin
+    }) { (s, d) =>
+      val pq = graft.similarity.ProductQuantizer
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val coarse = graft.similarity.KMeans.assign(emb, "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("cid").as("lid"))
+      val pw = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      val probe = emb.filter(col("vec_id") < 8)
+        .crossJoin(broadcast(cents))
+        .withColumn("dist", round(graft.similarity.KMeans.sqDist("embedding", "cvec"), 4))
+        .withColumn("rn", row_number().over(pw)).filter(col("rn") <= 2)
+        .select(col("vec_id").as("qid"), col("cid").as("lid"))
+      val books = pq.train(emb, "vec_id", "embedding",
+        nSub = 8, subDim = 8, k = 4, iters = 1)
+      val subs = pq.subvectors(emb, "vec_id", "embedding", nSub = 8, subDim = 8)
+      val codes = pq.encode(subs, "vec_id", books).select("vec_id", "sub", "code")
+      val qsubs = subs.filter(col("vec_id") < 8).withColumnRenamed("vec_id", "qid")
+      val dtable = qsubs.join(broadcast(books), "sub")
+        .select(col("qid"), col("sub"), col("cid").as("code"),
+          round(graft.similarity.KMeans.sqDist("sv", "cv") * 10000)
+            .cast("long").as("dfp"))
+      val cand = codes.join(coarse, "vec_id").join(broadcast(probe), "lid")
+      val aw = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("adist_fp"), col("vec_id"))
+      // 4x-overfetch shortlist by ADC (12 = 4 x the final top-3)
+      val short = cand.join(broadcast(dtable), Seq("qid", "sub", "code"))
+        .groupBy("qid", "vec_id").agg(sum(col("dfp")).as("adist_fp"))
+        .withColumn("rn", row_number().over(aw)).filter(col("rn") <= 12)
+        .select(col("qid"), col("vec_id").as("nid"))
+      // refine: fetch ONLY the shortlist's raw vectors (broadcast
+      // semi-fetch — the corpus is never rescanned as floats) and re-rank
+      // by exact distance
+      val qv = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val rv = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("dist_fp"), col("nid"))
+      broadcast(short.join(broadcast(qv), "qid"))
+        .join(rv, "nid")
+        .select(col("qid"), col("nid"),
+          round(graft.similarity.KMeans.sqDist("qe", "ne") * 10000)
+            .cast("long").as("dist_fp"))
+        .withColumn("rn", row_number().over(rw)).filter(col("rn") <= 3)
+        .select(col("qid"), col("nid"), col("dist_fp"))
+        .orderBy("qid", "dist_fp", "nid")
+    },
+
     // M-step: mean vector per cluster, emitted LONG-form (label, dim, c) so
     // the compare stays scalar. Explode-to-dims + groupBy(label, dim) is
     // one shuffle with map-side partials — at 100 TB this is how you

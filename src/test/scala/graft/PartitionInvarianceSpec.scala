@@ -82,7 +82,12 @@ class PartitionInvarianceSpec extends SparkSpec {
                    "theil1_theil_sen",
                    // tq18/tq21: two-distinct Expand aggs + TakeOrdered on
                    // total (cents desc, key) / (numwait desc, name) orders
-                   "tq18_big_orders", "tq21_late_supplier")) {
+                   "tq18_big_orders", "tq21_late_supplier",
+                   // kc1: capped-collector edge build + iterated degree
+                   // aggs and semi-joins with localCheckpoint rounds;
+                   // emb8: trained-codebook ADC shortlist + exact re-rank
+                   // through total-ordered rank windows
+                   "kc1_kcore", "emb8_ivfpq_refine")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),
