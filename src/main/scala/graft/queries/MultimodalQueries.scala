@@ -65,8 +65,76 @@ object MultimodalQueries {
           col("length").cast("int").as("n_bytes"),
           md5(col("content")).as("payload_md5"))
         .orderBy("doc_id")
+    },
+
+    // ── MM4: perceptual-hash near-duplicate detection over media payloads
+    // — the media-side sibling of dd4's text SimHash: images re-encoded at
+    // a different quality or with EXIF stripped are byte-different but
+    // perceptually identical, so media dedup hashes CONTENT STRUCTURE, not
+    // bytes. The perceptual transform itself is stubbed deterministically
+    // (no codecs here — MediaPipeline's contract): the payload splits into
+    // 32 width-adaptive stripes (stride = ceil(len/32), mm2's framing
+    // math) and bit j is the parity of stripe j's digest — a LOCAL
+    // function of content, so payloads differing in one stripe differ in
+    // ~1 bit (the locality real pHash gets from DCT blocks). The 32-bit
+    // signature computes PER ROW (no shuffle at all — 32 codegen'd md5
+    // calls), then dd4's exact banded machinery: 4×8-bit bands, candidates
+    // only from shared bands, Hamming ≤ 3 — EXACT by pigeonhole (3 flips
+    // cannot touch all 4 bands; the spec proves band-join ≡ the literal
+    // quadratic filter). 100 TB: signature pass is embarrassingly
+    // parallel; the band join shuffles 12-byte signature rows, never
+    // payloads (dd10's digests-not-text contract); band-value skew is
+    // dd4's documented 8-bit-domain class — production sims widen to
+    // 64-bit/16-bit bands, same plan.
+    Q("mm4_phash_neardup", {
+      val bitSql = (j: Int) =>
+        s"((strpos('0123456789abcdef', substr(md5(substr(b64, $j * stride + 1, stride)), 1, 1)) - 1) % 2)"
+      val sigSql = (0 until 32).map(j => s"${bitSql(j)} * ${1L << j}").mkString(" + ")
+      s"""WITH m AS (SELECT doc_id, base64(encode(text)) AS b64 FROM documents),
+         |w AS (SELECT doc_id, b64,
+         |        greatest(1, (length(b64) + 31) // 32) AS stride FROM m),
+         |sig AS (SELECT doc_id, CAST($sigSql AS BIGINT) AS sig FROM w),
+         |blk AS (SELECT doc_id, sig, r.range AS bi,
+         |          (sig >> (8 * r.range)) & 255 AS bv
+         |        FROM sig, range(4) r),
+         |cand AS (SELECT DISTINCT p.doc_id AS a, q.doc_id AS b,
+         |           bit_count(xor(p.sig, q.sig)) AS hamming
+         |         FROM blk p JOIN blk q ON p.bi = q.bi AND p.bv = q.bv
+         |                             AND p.doc_id < q.doc_id)
+         |SELECT a, b, hamming FROM cand WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+    }) { (s, d) =>
+      val sig = phashSignatures(Tables.documents(s, d))
+      val blocks = sig.select(col("doc_id"), col("sig"), explode(array(
+          (0 until 4).map(b => struct(lit(b).as("bi"),
+            shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("blk"))
+        .select(col("doc_id"), col("sig"), col("blk.bi").as("bi"), col("blk.bv").as("bv"))
+      blocks.as("p").join(blocks.as("q"),
+          col("p.bi") === col("q.bi") && col("p.bv") === col("q.bv") &&
+            col("p.doc_id") < col("q.doc_id"))
+        .select(col("p.doc_id").as("a"), col("q.doc_id").as("b"),
+          bit_count(col("p.sig").bitwiseXOR(col("q.sig"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("a", "b")
     }
   )
+
+  /** mm4's 32-bit stub perceptual signature: payload → 32 width-adaptive
+    * stripes (stride = ceil(len/32)) → bit j = parity of stripe j's md5 —
+    * a LOCAL function of content computed PER ROW (32 codegen'd md5
+    * calls, no shuffle). Exposed so the spec can prove the banded join ≡
+    * the literal quadratic Hamming filter over these signatures.
+    */
+  def phashSignatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bit = (j: Int) =>
+      s"(cast(conv(substring(md5(substring(b64, $j * stride + 1, stride)), 1, 1), 16, 10) as bigint) % 2)"
+    val sigExpr = (0 until 32).map(j => s"${bit(j)} * ${1L << j}L")
+      .mkString(" + ")
+    docs
+      .select(col("doc_id"), base64(encode(col("text"), "UTF-8")).as("b64"))
+      .withColumn("stride", greatest(lit(1), expr("(length(b64) + 31) div 32")))
+      .select(col("doc_id"), expr(s"cast($sigExpr as bigint)").as("sig"))
+  }
 
   /** Stage doc_id < 100 as one binary file per doc (UTF-8 payload),
     * re-staged whenever the source parquet fingerprint changes.

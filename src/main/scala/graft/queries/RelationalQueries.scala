@@ -1082,10 +1082,10 @@ object RelationalQueries {
         |         CAST(count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS BIGINT) AS n_late,
         |         max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
         |       FROM j GROUP BY 1)
-        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
         |FROM po JOIN supplier s ON po.late_supp = s.s_suppkey
         |WHERE po.n_supp >= 2 AND po.n_late = 1
-        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, d) =>
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin) { (s, d) =>
       val j = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(orders(s, d).select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
@@ -1097,13 +1097,17 @@ object RelationalQueries {
           countDistinct(when(col("late") === 1, col("l_suppkey")))
             .cast("long").as("n_late"),
           max(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
+      // group and order on the KEY, not the name: supplier names are not
+      // unique (replicated corpora repeat them across key ranges), so a
+      // name-grained rollup would silently merge distinct suppliers and a
+      // name tie-break is not a total order — (numwait desc, s_suppkey) is
       po.filter(col("n_supp") >= 2L && col("n_late") === 1L)
         .groupBy("late_supp")
         .agg(count(lit(1)).cast("long").as("numwait"))
         .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
           col("late_supp") === col("s_suppkey"))
-        .select(col("s_name"), col("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
         .limit(100)
     },
 

@@ -822,6 +822,82 @@ object StatQueries {
         .filter(col("rn") === expr("(n_days + 1) div 2"))
         .select(col("n_days"), col("n_pairs"), col("slope_micro"),
           col("resid").cast("long").as("icept_micro"))
+    },
+
+    // ── DID1: difference-in-differences — the 2×2 causal-contrast readout
+    // above wt1's single contrast: did = (treated post − treated pre) −
+    // (control post − control pre) on mean purchase value, the estimator
+    // every experiment dashboard reports when assignment predates the
+    // launch. Cells are pinned deterministically: treatment = user_id
+    // parity, post = epoch-day ≥ the corpus midpoint ((min+max+1) div 2 —
+    // integer day arithmetic, no timestamp math on either engine). Cell
+    // means are micro-units via truncating division on non-negative sums
+    // (the sc·1e6 product rides decimal(38,0)/HUGEINT — a cell sum at
+    // 100 TB passes 2^63 after ×1e6); the DiD itself is pure integer
+    // subtraction, and ANY empty cell guards the estimate to NULL on both
+    // engines. Plan: one ts-only column-pruned scan for the 1-row
+    // min/max broadcast (seg1's anchor device), then ONE conditional-agg
+    // corpus scan to a single row — no window, no join wider than the
+    // 1-row broadcast.
+    Q("did1_diff_in_diff",
+      """WITH b AS (SELECT CAST(min(date_diff('day', DATE '1970-01-01',
+        |                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))) AS BIGINT) AS mn,
+        |             CAST(max(date_diff('day', DATE '1970-01-01',
+        |                     CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))) AS BIGINT) AS mx
+        |           FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+        |        CASE WHEN CAST(date_diff('day', DATE '1970-01-01',
+        |               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS BIGINT)
+        |             >= (b.mn + b.mx + 1) // 2 THEN 1 ELSE 0 END AS post,
+        |        CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM events CROSS JOIN b WHERE event_type = 'purchase'),
+        |c AS (SELECT
+        |        CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+        |        CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+        |        CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+        |        CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+        |        sum(CASE WHEN treat = 1 AND post = 0 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s_t0,
+        |        sum(CASE WHEN treat = 1 AND post = 1 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s_t1,
+        |        sum(CASE WHEN treat = 0 AND post = 0 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s_c0,
+        |        sum(CASE WHEN treat = 0 AND post = 1 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s_c1
+        |      FROM e),
+        |m AS (SELECT n_t0, n_t1, n_c0, n_c1,
+        |        CASE WHEN n_t0 > 0 THEN CAST((s_t0 * 1000000) // n_t0 AS BIGINT) END AS m_t0,
+        |        CASE WHEN n_t1 > 0 THEN CAST((s_t1 * 1000000) // n_t1 AS BIGINT) END AS m_t1,
+        |        CASE WHEN n_c0 > 0 THEN CAST((s_c0 * 1000000) // n_c0 AS BIGINT) END AS m_c0,
+        |        CASE WHEN n_c1 > 0 THEN CAST((s_c1 * 1000000) // n_c1 AS BIGINT) END AS m_c1
+        |      FROM c)
+        |SELECT n_t0, n_t1, n_c0, n_c1,
+        |       m_t0 AS m_t0_micro, m_t1 AS m_t1_micro,
+        |       m_c0 AS m_c0_micro, m_c1 AS m_c1_micro,
+        |       (m_t1 - m_t0) - (m_c1 - m_c0) AS did_micro
+        |FROM m""".stripMargin) { (s, d) =>
+      val day = expr(
+        "cast(datediff(cast(date_trunc('day', ts) as date), date'1970-01-01') as bigint)")
+      val pur = Tables.events(s, d).filter(col("event_type") === "purchase")
+      val b = pur.agg(min(day).as("mn"), max(day).as("mx"))
+      val e = pur.crossJoin(broadcast(b))
+        .select((col("user_id") % 2).cast("long").as("treat"),
+          when(day >= expr("(mn + mx + 1) div 2"), 1L).otherwise(0L).as("post"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      def nOf(t: Int, p: Int) =
+        sum(when(col("treat") === t && col("post") === p, 1L).otherwise(0L))
+          .cast("long")
+      def sOf(t: Int, p: Int) =
+        sum(when(col("treat") === t && col("post") === p, col("cents"))
+          .otherwise(0L).cast("decimal(38,0)"))
+      val c = e.agg(nOf(1, 0).as("n_t0"), nOf(1, 1).as("n_t1"),
+        nOf(0, 0).as("n_c0"), nOf(0, 1).as("n_c1"),
+        sOf(1, 0).as("s_t0"), sOf(1, 1).as("s_t1"),
+        sOf(0, 0).as("s_c0"), sOf(0, 1).as("s_c1"))
+      def mOf(n: String, sm: String) =
+        when(col(n) > 0, expr(s"cast(($sm * 1000000) div $n as bigint)"))
+      c.select(col("n_t0"), col("n_t1"), col("n_c0"), col("n_c1"),
+          mOf("n_t0", "s_t0").as("m_t0_micro"), mOf("n_t1", "s_t1").as("m_t1_micro"),
+          mOf("n_c0", "s_c0").as("m_c0_micro"), mOf("n_c1", "s_c1").as("m_c1_micro"))
+        .withColumn("did_micro",
+          (col("m_t1_micro") - col("m_t0_micro"))
+            - (col("m_c1_micro") - col("m_c0_micro")))
     }
   )
 }

@@ -87,7 +87,10 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // aggs and semi-joins with localCheckpoint rounds;
                    // emb8: trained-codebook ADC shortlist + exact re-rank
                    // through total-ordered rank windows
-                   "kc1_kcore", "emb8_ivfpq_refine")) {
+                   "kc1_kcore", "emb8_ivfpq_refine",
+                   // did1's conditional decimal sums + 1-row broadcast
+                   // anchor; mm4's per-row signature + banded self-join
+                   "did1_diff_in_diff", "mm4_phash_neardup")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),

@@ -95,8 +95,8 @@ class TqDecorrelationSpec extends SparkSpec {
         (2L, 10L, "2020-01-01", 1.0),
         (3L, 20L, "2020-01-01", 1.0)))
     val rows = q("tq21_late_supplier")(spark, dir).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    assert(rows.toSeq == Seq(("s1", 1L)), s"got ${rows.toSeq}")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "s1", 1L)), s"got ${rows.toSeq}")
   }
 
   test("tq21: supplier broadcasts and lineitem-orders is the one shuffle join") {
