@@ -1111,6 +1111,42 @@ object RelationalQueries {
         .limit(100)
     },
 
+    // ── TQ17: small-quantity-order revenue (TPC-H Q17's shape) — revenue
+    // locked in lineitems whose quantity is below 20% of THEIR PART's
+    // average quantity. The decorrelation lesson, Spark-first: the
+    // correlated per-part average subquery is a WINDOW aggregate — one
+    // partkey-keyed shuffle, ONE lineitem scan (spec-asserted), no second
+    // scan and no fact⋈group-table join (the per-part table at 100 TB is
+    // fact-sized/30 — too big to broadcast, so the join form shuffles the
+    // fact anyway AND scans it twice). The 20% comparison is EXACT
+    // integer: qty < avg/5 ⟺ qty·5·cnt_p < sum_p on positive integers —
+    // no rational ever materializes. Revenue is exact cents; the yearly
+    // average divides by 7 (Q17's constant) in integer cents.
+    Q("tq17_small_qty_revenue",
+      """WITH w AS (SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |             CAST(sum(CAST(round(l_quantity) AS BIGINT))
+        |               OVER (PARTITION BY l_partkey) AS BIGINT) AS sum_p,
+        |             CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS cnt_p
+        |           FROM lineitem)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(coalesce(sum(cents), 0) AS BIGINT) AS rev_cents,
+        |       CAST(coalesce(sum(cents), 0) // 7 AS BIGINT) AS avg_yearly_cents
+        |FROM w WHERE qty * 5 * cnt_p < sum_p""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+      lineitem(s, d)
+        .select(col("l_partkey"),
+          expr("cast(round(l_quantity) as bigint)").as("qty"),
+          cents(col("l_extendedprice")).as("cents"))
+        .withColumn("sum_p", sum("qty").over(w).cast("long"))
+        .withColumn("cnt_p", count(lit(1)).over(w).cast("long"))
+        .filter(col("qty") * 5L * col("cnt_p") < col("sum_p"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          coalesce(sum("cents"), lit(0L)).cast("long").as("rev_cents"))
+        .select(col("n_rows"), col("rev_cents"),
+          expr("rev_cents div 7").as("avg_yearly_cents"))
+    },
+
     // ── MV1: incremental materialized-view refresh — the daily revenue
     // rollup computed as COMBINE(partial over 90% "history", partial over
     // the 10% "delta") via graft.operators.IncrementalAgg; the oracle is

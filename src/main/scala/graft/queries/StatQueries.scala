@@ -824,6 +824,61 @@ object StatQueries {
           col("resid").cast("long").as("icept_micro"))
     },
 
+    // ── QQ1: quantile–quantile drift table between the en and non-en
+    // length distributions — the DIAGNOSTIC the scalar drift family
+    // (ks1 worst point, emd1 integral, js1 mass) can't draw: 19 ventile
+    // pairs (q_j^a, q_j^b) whose plot shows WHERE the distributions
+    // depart (head, body, or tail). Quantiles are exact type-1 (lower)
+    // order statistics in pure integers: q_j = min{score : 20·cum ≥ j·n}
+    // — no interpolation, no rational (20·cum stays under 2^63 to
+    // ~4.6e17 docs/side); an empty side yields NULL at every level via
+    // the symmetric n > 0 guard. 100 TB: ks1's plan class — one keyed
+    // agg to the domain-bounded ECDF table, one prefix window over THAT,
+    // and a ×19 broadcast level grid; the quantile extraction is one
+    // conditional-min agg. BOUNDED-WINDOW CONTRACT: the ECDF window
+    // input is the distinct-score table (ks1's spec-pinned bound).
+    Q("qq1_quantile_drift",
+      """WITH s AS (SELECT n_chars AS score,
+        |             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS a,
+        |             CAST(CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS BIGINT) AS b
+        |           FROM documents),
+        |g AS (SELECT score, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+        |      FROM s GROUP BY 1),
+        |c AS (SELECT score,
+        |        CAST(sum(ca) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |        CAST(sum(cb) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+        |        CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+        |        CAST(sum(cb) OVER () AS BIGINT) AS n_b
+        |      FROM g),
+        |l AS (SELECT CAST(range + 1 AS BIGINT) AS lvl FROM range(19))
+        |SELECT l.lvl,
+        |       min(CASE WHEN n_a > 0 AND 20 * cum_a >= l.lvl * n_a THEN score END) AS qa,
+        |       min(CASE WHEN n_b > 0 AND 20 * cum_b >= l.lvl * n_b THEN score END) AS qb
+        |FROM c CROSS JOIN l GROUP BY 1 ORDER BY lvl""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .select(col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("a"),
+          when(col("lang") === "en", 0L).otherwise(1L).as("b"))
+        .groupBy("score")
+        .agg(sum("a").cast("long").as("ca"), sum("b").cast("long").as("cb"))
+      val tot = g.agg(sum("ca").cast("long").as("n_a"),
+        sum("cb").cast("long").as("n_b"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = g.withColumn("cum_a", sum("ca").over(w).cast("long"))
+        .withColumn("cum_b", sum("cb").over(w).cast("long"))
+        .crossJoin(broadcast(tot))
+      val levels = s.range(1, 20).select(col("id").as("lvl"))
+      c.crossJoin(broadcast(levels))
+        .groupBy("lvl")
+        .agg(
+          min(when(col("n_a") > 0 &&
+            col("cum_a") * 20L >= col("lvl") * col("n_a"), col("score"))).as("qa"),
+          min(when(col("n_b") > 0 &&
+            col("cum_b") * 20L >= col("lvl") * col("n_b"), col("score"))).as("qb"))
+        .orderBy("lvl")
+    },
+
     // ── DID1: difference-in-differences — the 2×2 causal-contrast readout
     // above wt1's single contrast: did = (treated post − treated pre) −
     // (control post − control pre) on mean purchase value, the estimator

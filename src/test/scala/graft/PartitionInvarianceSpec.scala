@@ -90,7 +90,10 @@ class PartitionInvarianceSpec extends SparkSpec {
                    "kc1_kcore", "emb8_ivfpq_refine",
                    // did1's conditional decimal sums + 1-row broadcast
                    // anchor; mm4's per-row signature + banded self-join
-                   "did1_diff_in_diff", "mm4_phash_neardup")) {
+                   "did1_diff_in_diff", "mm4_phash_neardup",
+                   // tq17's partkey window + exact-integer filter; qq1's
+                   // ECDF window + conditional-min level grid
+                   "tq17_small_qty_revenue", "qq1_quantile_drift")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),

@@ -424,6 +424,33 @@ class StatQueriesSpec extends SparkSpec {
       s"day-grain aggregate not upstream of the window:\n$p")
   }
 
+  // ── qq1 ──────────────────────────────────────────────────────────────────
+
+  test("qq1: hand-computed ventiles — en {1,2,3,4} vs fr {2,4}") {
+    val dir = tmpDir("qq1a")
+    // qa: 20*cum >= 4j <=> 5*cum >= j -> score 1 for j<=5, 2 for j<=10,
+    // 3 for j<=15, 4 above; qb: 10*cum >= j -> 2 for j<=10, 4 above
+    writeDocs(dir, Seq(
+      (1L, "a", "en", "s"), (2L, "aa", "en", "s"),
+      (3L, "aaa", "en", "s"), (4L, "aaaa", "en", "s"),
+      (5L, "bb", "fr", "s"), (6L, "bbbb", "fr", "s")))
+    val rows = q("qq1_quantile_drift").run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 19)
+    (1L to 19L).foreach { j =>
+      val qa = if (j <= 5) 1L else if (j <= 10) 2L else if (j <= 15) 3L else 4L
+      val qb = if (j <= 10) 2L else 4L
+      assert(rows(j) == (qa, qb), s"level $j: got ${rows(j)}, want ($qa, $qb)")
+    }
+  }
+
+  test("qq1: an empty side is NULL at every level, never a fake quantile") {
+    val dir = tmpDir("qq1b")
+    writeDocs(dir, Seq((1L, "a", "en", "s"), (2L, "aa", "en", "s")))
+    val rows = q("qq1_quantile_drift").run(spark, dir).collect()
+    assert(rows.length == 19 && rows.forall(_.isNullAt(2)))
+  }
+
   // ── theil1 ───────────────────────────────────────────────────────────────
 
   test("theil1: hand-computed median slope and intercept on {100,300,200,400}") {

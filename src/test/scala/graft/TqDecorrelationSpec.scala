@@ -75,6 +75,32 @@ class TqDecorrelationSpec extends SparkSpec {
       s"having filter not below the joins:\n$p")
   }
 
+  // ── tq17 ─────────────────────────────────────────────────────────────────
+
+  test("tq17: only sub-20%-of-part-average quantities count, exactly") {
+    import spark.implicits._
+    val dir = tmpDir("tq17a")
+    // part 1: qtys {1,10,10,10} -> sum 31, cnt 4; qty 1: 1*5*4 = 20 < 31
+    // qualifies (1 < 31/20 = 1.55), qty 10: 200 > 31 does not.
+    // part 2: qtys {5,5} -> 50 > 10: nothing qualifies.
+    Seq(
+      (1L, 1L, 1.0, 2.50), (2L, 1L, 10.0, 9.99),
+      (3L, 1L, 10.0, 9.99), (4L, 1L, 10.0, 9.99),
+      (5L, 2L, 5.0, 1.00), (6L, 2L, 5.0, 1.00))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = q("tq17_small_qty_revenue")(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1L, 250L, 35L), s"got $r")
+  }
+
+  test("tq17: the correlated average is a window — ONE lineitem scan in the plan") {
+    val p = q("tq17_small_qty_revenue")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected a single lineitem scan, found $scans:\n$p")
+    assert(p.contains("Window"), s"per-part average not a window aggregate:\n$p")
+  }
+
   // ── tq21 ─────────────────────────────────────────────────────────────────
 
   test("tq21: exactly-one-late on a multi-supplier order; 2-late and " +
