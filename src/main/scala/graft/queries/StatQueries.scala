@@ -824,6 +824,61 @@ object StatQueries {
           col("resid").cast("long").as("icept_micro"))
     },
 
+    // ── AB2: Wald's sequential probability ratio test (SPRT 1945) on the
+    // daily view→purchase conversion rate — the SEQUENTIAL decision layer
+    // the testing family lacked: ab1 is a fixed-horizon z-test, cp1 an
+    // open-ended CUSUM alarm; SPRT is the "stop the experiment early,
+    // with α/β guarantees" primitive. H0: p = 1/5 vs H1: p = 1/4, α = β
+    // = 0.05. Exact integers end to end via the INTEGER-RATIO device:
+    // ln(p1/p0) = ln 5 − ln 4 and ln((1−p1)/(1−p0)) = ln 15 − ln 16 in
+    // micro-lns of SMALL INTEGERS (t11's contract — no float ratio is
+    // ever ln'd), so day d contributes k_d·(ln5−ln4) + (n_d−k_d)·
+    // (ln15−ln16) as pure integer products; the cumulative LLR is one
+    // prefix window over the day table; thresholds ±ln 19 = ±lnMicro(19).
+    // Decisions are a CASE over integers — identical both engines.
+    // 100 TB: ONE conditional-agg corpus scan to the |days| table; the
+    // window rides that (ses1's bounded-window class). k·2e5 micro stays
+    // under 2^63 to ~4.6e13 conversions/day — cast decimal anyway.
+    Q("ab2_sprt", {
+      val c1 = s"(${lnMicroSql("5")} - ${lnMicroSql("4")})"
+      val c0 = s"(${lnMicroSql("15")} - ${lnMicroSql("16")})"
+      val lnA = lnMicroSql("19")
+      s"""WITH dc AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+         |                            '%Y-%m-%d') AS day,
+         |              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         |              CAST(count(*) AS BIGINT) AS n
+         |            FROM events WHERE event_type IN ('view', 'purchase')
+         |            GROUP BY 1),
+         |c AS (SELECT day, k, n,
+         |        CAST(sum(k * $c1 + (n - k) * $c0)
+         |          OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS llr_micro
+         |      FROM dc)
+         |SELECT day, k, n, llr_micro,
+         |       CASE WHEN llr_micro >= $lnA THEN 'accept_h1'
+         |            WHEN llr_micro <= -$lnA THEN 'accept_h0'
+         |            ELSE 'continue' END AS decision
+         |FROM c ORDER BY day""".stripMargin
+    }) { (s, d) =>
+      val c1 = lnMicro(lit(5)) - lnMicro(lit(4))
+      val c0 = lnMicro(lit(15)) - lnMicro(lit(16))
+      val lnA = lnMicro(lit(19))
+      val dc = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("k"),
+          count(lit(1)).cast("long").as("n"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dc.withColumn("llr_micro",
+          sum(col("k") * c1 + (col("n") - col("k")) * c0).over(w).cast("long"))
+        .select(col("day"), col("k"), col("n"), col("llr_micro"),
+          when(col("llr_micro") >= lnA, "accept_h1")
+            .when(col("llr_micro") <= -lnA, "accept_h0")
+            .otherwise("continue").as("decision"))
+        .orderBy("day")
+    },
+
     // ── QQ1: quantile–quantile drift table between the en and non-en
     // length distributions — the DIAGNOSTIC the scalar drift family
     // (ks1 worst point, emd1 integral, js1 mass) can't draw: 19 ventile

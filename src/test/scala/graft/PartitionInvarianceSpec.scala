@@ -93,7 +93,9 @@ class PartitionInvarianceSpec extends SparkSpec {
                    "did1_diff_in_diff", "mm4_phash_neardup",
                    // tq17's partkey window + exact-integer filter; qq1's
                    // ECDF window + conditional-min level grid
-                   "tq17_small_qty_revenue", "qq1_quantile_drift")) {
+                   "tq17_small_qty_revenue", "qq1_quantile_drift",
+                   // ab2's integer LLR prefix window over the day table
+                   "ab2_sprt")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),

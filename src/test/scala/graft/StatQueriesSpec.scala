@@ -424,6 +424,45 @@ class StatQueriesSpec extends SparkSpec {
       s"day-grain aggregate not upstream of the window:\n$p")
   }
 
+  // ── ab2 ──────────────────────────────────────────────────────────────────
+
+  test("ab2: SPRT walks continue -> accept_h1 on a conversion surge") {
+    val dir = tmpDir("ab2a")
+    // day 1: k=1/n=2 -> llr = (ln5-ln4) + (ln15-ln16) micro = 158605:
+    // inside (-ln19, ln19) = (-2944439, 2944439) -> continue.
+    // day 2: 20 straight conversions -> +20*(ln5-ln4) = +4462880 ->
+    // cumulative 4621485 >= ln19 -> accept_h1
+    def ev(id: Long, day: Int, et: String) =
+      (id, f"2024-01-$day%02d 09:00:00", 1L, et, 1.0)
+    val rows =
+      Seq(ev(1L, 1, "purchase"), ev(2L, 1, "view")) ++
+        (0 until 20).map(i => ev(10L + i, 2, "purchase"))
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def lnm(x: Int) = math.round(math.log(x) * 1e6)
+    val out = q("ab2_sprt").run(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getString(4))).toMap
+    val day1 = (lnm(5) - lnm(4)) + (lnm(15) - lnm(16))
+    assert(out("2024-01-01") == (day1, "continue"), s"got $out")
+    assert(out("2024-01-02") == (day1 + 20 * (lnm(5) - lnm(4)), "accept_h1"))
+  }
+
+  test("ab2: a zero-conversion run crosses the lower boundary to accept_h0") {
+    val dir = tmpDir("ab2b")
+    import spark.implicits._
+    // 50 views, no purchase: llr = 50*(ln15-ln16) = -3226950 <= -ln19
+    (0 until 50).map(i => (i.toLong, "2024-01-01 09:00:00", 1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = q("ab2_sprt").run(spark, dir).collect()(0)
+    assert(r.getString(4) == "accept_h0", s"got $r")
+  }
+
   // ── qq1 ──────────────────────────────────────────────────────────────────
 
   test("qq1: hand-computed ventiles — en {1,2,3,4} vs fr {2,4}") {
