@@ -124,23 +124,37 @@ object AnalyticsQueries {
     * localCheckpoint between rounds so iterative lineage doesn't stack.
     */
   def kCore(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var edges = edges0
-    var out: DataFrame = null
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    // materialize the pair build ONCE: round 1 consumes it from three
+    // plans (degree agg + both semi-join probes)
+    var edges = edges0.localCheckpoint()
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     for (r <- 1 to rounds) {
       val deg = edges.select(col("a").as("u")).unionAll(edges.select(col("b")))
         .groupBy("u").agg(count(lit(1)).as("dg"))
-      val alive = deg.filter(col("dg") >= k.toLong).select("u")
+      // alive is node-grain (≤|V| rows of one long) — checkpointing it
+      // makes the 2|E|-row degree shuffle run ONCE per round; without it,
+      // the two semi-joins and the node count each recomputed it (3× the
+      // round's dominant shuffle, measured 812 s at sf10)
+      val alive = deg.filter(col("dg") >= k.toLong).select("u").localCheckpoint()
+      val prev = edges
       edges = edges
         .join(alive.select(col("u").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("u").as("b")), Seq("b"), "left_semi")
         .select("a", "b")
         .localCheckpoint()
-      val row = alive.agg(count(lit(1)).cast("long").as("n_nodes"))
-        .crossJoin(edges.agg(count(lit(1)).cast("long").as("n_edges")))
-        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
-      out = if (out == null) row else out.unionByName(row)
+      // per-round counts are cheap scans of the materialized blocks; they
+      // are BOUNDED driver data (two longs per round — the pivot-key
+      // collect class), and taking them eagerly lets the dead round's
+      // blocks free immediately: holding all rounds at once is what bent
+      // the sf10 curve (seven deserialized 113M-row caches spilling +
+      // GC-thrashing the heap)
+      rows += ((r.toLong, alive.count(), edges.count()))
+      prev.unpersist()
+      alive.unpersist()
     }
-    out.orderBy("round")
+    rows.toSeq.toDF("round", "n_nodes", "n_edges").orderBy("round")
   }
 
   def all: Seq[Q] = Seq(

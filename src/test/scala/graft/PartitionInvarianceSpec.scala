@@ -95,7 +95,15 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // ECDF window + conditional-min level grid
                    "tq17_small_qty_revenue", "qq1_quantile_drift",
                    // ab2's integer LLR prefix window over the day table
-                   "ab2_sprt")) {
+                   "ab2_sprt",
+                   // TPC-H suite completion: tq1's decimal c4/c6 cell sums
+                   // + truncating integral averages, tq10's
+                   // aggregate-before-join rollup + TakeOrdered-20, tq15's
+                   // 1-row-broadcast argmax equality (tie set must not
+                   // depend on merge order), tq22's truncating global
+                   // average + anti join
+                   "tq1_pricing_summary", "tq10_returned_items",
+                   "tq15_top_supplier", "tq22_dormant_customers")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),
