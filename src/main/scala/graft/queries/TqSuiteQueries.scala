@@ -159,16 +159,24 @@ object TqSuiteQueries {
         |         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |         WHERE n_name IN ('NATION_1', 'NATION_2')),
         |  oc AS (SELECT o_orderkey, cust_nation
-        |         FROM orders JOIN cn ON o_custkey = c_custkey)
-        |SELECT supp_nation, cust_nation,
-        |       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
-        |FROM lineitem
-        |JOIN oc ON l_orderkey = o_orderkey
-        |JOIN sn ON l_suppkey = s_suppkey
-        |WHERE supp_nation <> cust_nation
+        |         FROM orders JOIN cn ON o_custkey = c_custkey),
+        |  j AS MATERIALIZED (
+        |    SELECT supp_nation, cust_nation,
+        |           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |           CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rc4
+        |    FROM lineitem
+        |    JOIN oc ON l_orderkey = o_orderkey
+        |    JOIN sn ON l_suppkey = s_suppkey)
+        |SELECT supp_nation, cust_nation, l_year,
+        |       CAST(sum(rc4) AS BIGINT) AS revenue_c4
+        |FROM j WHERE supp_nation <> cust_nation
         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+      // oracle note: the <> filter lives ABOVE a MATERIALIZED equi-join CTE
+      // — written inline, DuckDB's optimizer used the inequality as the
+      // only predicate between the order-flow and supplier branches and
+      // planned a NESTED_LOOP_JOIN (~3M × 16k rows at sf10, >70 GB of
+      // spill); the CTE pins the equi-joins first. Same rows either way.
       val n2 = nation(s, d).filter(col("n_name").isin("NATION_1", "NATION_2"))
         .select("n_nationkey", "n_name")
       val cn = customer(s, d).select("c_custkey", "c_nationkey")
