@@ -1008,6 +1008,127 @@ object StatQueries {
         .withColumn("did_micro",
           (col("m_t1_micro") - col("m_t0_micro"))
             - (col("m_c1_micro") - col("m_c0_micro")))
+    },
+
+    // ── MWU1: Mann–Whitney U (two-sided, tie-corrected) on ks1's split —
+    // the NONPARAMETRIC member of the two-sample family: wt1's Welch t
+    // assumes a mean shift matters, ks1 reads the worst ECDF point; U
+    // reads stochastic dominance ("is a random en doc longer than a
+    // random non-en doc?") and survives any monotone transform of the
+    // score. Exact on ks1's distinct-score ECDF table: in DOUBLED units
+    // U2 = Σ_s ca·(2·below_b + ties_b) — strict wins count 2, ties 1 —
+    // every product in decimal(38,0)/HUGEINT (a term reaches ~2n²; the
+    // EMITTED u2 ≤ 2·n_a·n_b holds BIGINT to ~2.1e9 docs/side, 1e4× sf10,
+    // the ks1 d_scaled class). The tie term T = Σ t³−t rides decimal too.
+    // The z finish is wt1's documented device: ONE double expression of
+    // identical shape on both engines over the 1-row exact-integer
+    // aggregate (round 6, one sqrt); all-tied corpora (variance 0) and an
+    // empty side guard to NULL symmetrically. BOUNDED-WINDOW CONTRACT:
+    // ks1's — the only window runs over the distinct-score table.
+    Q("mwu1_mann_whitney",
+      """WITH s AS (SELECT n_chars AS score,
+        |             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS a,
+        |             CAST(CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS BIGINT) AS b
+        |           FROM documents),
+        |g AS (SELECT score, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+        |      FROM s GROUP BY 1),
+        |c AS (SELECT ca, cb,
+        |        CAST(sum(cb) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+        |      FROM g),
+        |f AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |        CAST(sum(CAST(ca AS HUGEINT) * (2 * (cum_b - cb) + cb)) AS BIGINT) AS u2,
+        |        sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb) - (ca + cb)) AS tsum
+        |      FROM c)
+        |SELECT n_a, n_b, u2,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR n_a + n_b < 2
+        |         OR CAST(n_a + n_b + 1 AS DOUBLE)
+        |            - CAST(tsum AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1.0)) <= 0
+        |       THEN NULL
+        |       ELSE round((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+        |         / (2.0 * sqrt(CAST(n_a AS DOUBLE) * n_b
+        |            * (CAST(n_a + n_b + 1 AS DOUBLE)
+        |               - CAST(tsum AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1.0)))
+        |            / 12.0)), 6) END AS z
+        |FROM f""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .select(col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("a"),
+          when(col("lang") === "en", 0L).otherwise(1L).as("b"))
+        .groupBy("score")
+        .agg(sum("a").cast("long").as("ca"), sum("b").cast("long").as("cb"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = g.select(col("ca"), col("cb"),
+        sum("cb").over(w).cast("long").as("cum_b"))
+      c.agg(sum("ca").cast("long").as("n_a"), sum("cb").cast("long").as("n_b"),
+          sum((col("ca").cast("decimal(38,0)")
+            * (lit(2L) * (col("cum_b") - col("cb")) + col("cb"))))
+            .cast("long").as("u2"),
+          sum((col("ca") + col("cb")).cast("decimal(38,0)")
+            * (col("ca") + col("cb")) * (col("ca") + col("cb"))
+            - (col("ca") + col("cb"))).as("tsum"))
+        .select(col("n_a"), col("n_b"), col("u2"),
+          expr("""CASE WHEN n_a = 0 OR n_b = 0 OR n_a + n_b < 2
+                   OR CAST(n_a + n_b + 1 AS DOUBLE)
+                      - CAST(tsum AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1.0)) <= 0
+                 THEN NULL
+                 ELSE round((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+                   / (2.0 * sqrt(CAST(n_a AS DOUBLE) * n_b
+                      * (CAST(n_a + n_b + 1 AS DOUBLE)
+                         - CAST(tsum AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1.0)))
+                      / 12.0)), 6) END""").as("z"))
+    },
+
+    // ── KT1: Kendall's tau-a between daily revenue and daily order count
+    // — the rank-concordance companion to sc1 (Spearman reads rank
+    // POSITIONS; tau reads pairwise ORDER agreement and is the standard
+    // robust check that "more orders" and "more revenue" move together
+    // day over day). Pure integers end to end: each day pair contributes
+    // sign(Δcents)·sign(Δcount) ∈ {−1,0,1}; tau_a_ppm = sign(C−D)·
+    // (|C−D|·1e6 div n_pairs) — the zipf1 truncation device, identical
+    // both engines. 100 TB: theil1's plan class — the corpus collapses to
+    // the day-grain pre-agg in ONE conditional-agg keyed scan; the
+    // O(|days|²) pair grid (~66k pairs for 10 years) runs over that
+    // bounded table. BOUNDED-WINDOW CONTRACT: the rank window input is
+    // the day table, never the corpus.
+    Q("kt1_kendall_tau",
+      """WITH dc AS (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+        |                            '%Y-%m-%d') AS day,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT cents, cnt, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t FROM dc),
+        |p AS (SELECT CAST(sign(y.cents - x.cents) AS BIGINT)
+        |               * CAST(sign(y.cnt - x.cnt) AS BIGINT) AS s
+        |      FROM r x JOIN r y ON y.t > x.t),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+        |        CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc
+        |      FROM p)
+        |SELECT n_pairs, n_conc, n_disc,
+        |  CASE WHEN n_pairs = 0 THEN NULL
+        |       ELSE CAST(CAST(sign(n_conc - n_disc) AS BIGINT)
+        |         * ((abs(n_conc - n_disc) * 1000000) // n_pairs) AS BIGINT) END AS tau_a_ppm
+        |FROM f""".stripMargin) { (s, d) =>
+      val dc = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"),
+          count(lit(1)).cast("long").as("cnt"))
+      val r = dc.select(col("cents"), col("cnt"),
+        row_number().over(Window.orderBy("day")).cast("long").as("t"))
+      val x = r.select(col("cents").as("cx"), col("cnt").as("kx"), col("t").as("ti"))
+      val y = r.select(col("cents").as("cy"), col("cnt").as("ky"), col("t").as("tj"))
+      x.join(y, col("tj") > col("ti"))
+        .select((signum(col("cy") - col("cx")).cast("long")
+          * signum(col("ky") - col("kx")).cast("long")).as("s"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(when(col("s") === 1L, 1L).otherwise(0L)).cast("long").as("n_conc"),
+          sum(when(col("s") === -1L, 1L).otherwise(0L)).cast("long").as("n_disc"))
+        .select(col("n_pairs"), col("n_conc"), col("n_disc"),
+          when(col("n_pairs") === 0L, lit(null).cast("long"))
+            .otherwise(expr("cast(cast(sign(n_conc - n_disc) as bigint)" +
+              " * ((abs(n_conc - n_disc) * 1000000) div n_pairs) as bigint)"))
+            .as("tau_a_ppm"))
     }
   )
 }

@@ -433,5 +433,262 @@ object TqSuiteQueries {
         .agg(count(lit(1)).cast("long").as("numcust"),
           sum("bal_c").cast("long").as("totacctbal_c"))
         .orderBy("c_nationkey")
+    },
+
+    // ── TQ2: minimum-cost supplier (TPC-H Q2's shape) — for each small
+    // LARGE-type part, the EUROPE supplier(s) with the minimum account
+    // balance (this schema's supply-cost stand-in) among those who
+    // actually supply it (supply = distinct (part, supplier) pairs off
+    // lineitem). The correlated "= (SELECT min ...)" decorrelates to a
+    // WINDOW MIN over the supply-pair table (tq17's lesson on a join
+    // table): ONE partkey-keyed shuffle, no second scan, no per-part
+    // join. Scale order matters: the part filter semi-prunes the supply
+    // pairs BEFORE the window (pruning by part cannot change a part's
+    // own min), so the window input is |filtered parts|·suppliers-per-
+    // part, not the full supply relation.
+    Q("tq2_min_cost_supplier",
+      """WITH sup AS (SELECT s_suppkey, s_name, n_name,
+        |               CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c
+        |             FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |                  JOIN region ON n_regionkey = r_regionkey
+        |             WHERE r_name = 'EUROPE'),
+        |supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |pl AS (SELECT p_partkey, p_name FROM part
+        |       WHERE p_size <= 5 AND p_type = 'LARGE'),
+        |j AS (SELECT pl.p_partkey, pl.p_name, sup.s_suppkey, sup.s_name,
+        |             sup.n_name, sup.bal_c,
+        |             min(sup.bal_c) OVER (PARTITION BY pl.p_partkey) AS min_c
+        |      FROM supply JOIN pl ON l_partkey = p_partkey
+        |                  JOIN sup ON l_suppkey = s_suppkey)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, n_name, bal_c
+        |FROM j WHERE bal_c = min_c
+        |ORDER BY bal_c DESC, p_partkey, s_suppkey LIMIT 100""".stripMargin) { (s, d) =>
+      val nr = nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = supplier(s, d)
+        .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          cents(col("s_acctbal")).as("bal_c"))
+      val supply = lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+      val pl = Tables.part(s, d)
+        .filter(col("p_size") <= 5 && col("p_type") === "LARGE")
+        .select("p_partkey", "p_name")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
+      supply.join(pl, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .withColumn("min_c", min("bal_c").over(w))
+        .filter(col("bal_c") === col("min_c"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("n_name"), col("bal_c"))
+        .orderBy(col("bal_c").desc, col("p_partkey"), col("s_suppkey"))
+        .limit(100)
+    },
+
+    // ── TQ9: product-type profit (TPC-H Q9's shape) — profit on 'red'
+    // parts per supplier nation and order year, cost standing in as
+    // retail price × quantity (no partsupp on this schema). The full
+    // star with BOTH big dims: part joins KEYED (fact/30, name-filtered
+    // ~1/3 — still unbroadcastable at 100 TB), orders joins KEYED (the
+    // year), supplier→nation broadcasts. profit_c4 = r4 − cost_c·qty·100
+    // is exact integer; nation-year sums cast-BEFORE-sum decimal(38,0)/
+    // HUGEINT (a year's profit passes 2^63 ~1e4× past sf10).
+    Q("tq9_product_type_profit",
+      """WITH j AS MATERIALIZED (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+        |           - CAST(round(p.p_retailprice * 100) AS BIGINT)
+        |             * CAST(round(l.l_quantity) AS BIGINT) * 100 AS profit_c4
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_name LIKE '%red%')
+        |SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(profit_c4 AS HUGEINT)) AS BIGINT) AS profit_c4
+        |FROM j JOIN orders ON l_orderkey = o_orderkey
+        |       JOIN supplier ON l_suppkey = s_suppkey
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY n_name, o_year""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d).filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), cents(col("p_retailprice")).as("cost_c"))
+      val li = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          expr("cast(round(l_quantity) as bigint)").as("qty"),
+          r4(col("l_extendedprice"), col("l_discount")).as("rc4"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("rc4") - col("cost_c") * col("qty") * lit(100L)).as("profit_c4"))
+      val o = orders(s, d)
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+      val sn = supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("n_name", "o_year")
+        .agg(sum(col("profit_c4").cast("decimal(38,0)")).as("psum"))
+        .select(col("n_name"), col("o_year"),
+          expr("cast(psum as bigint)").as("profit_c4"))
+        .orderBy("n_name", "o_year")
+    },
+
+    // ── TQ11: important stock (TPC-H Q11's shape) — parts whose
+    // NATION_1-supplied inventory value (qty × retail, this schema's
+    // supplycost×availqty stand-in) exceeds TWICE the average part's
+    // value. The official Q11 divides its fraction by SF because a fixed
+    // fraction DEGENERATES as the part table grows (the first cut here —
+    // value·10⁴ > total — returned the empty set at sf10's 1.5M parts);
+    // the scale-free restatement derives the threshold from the SAME
+    // per-part table in-plan (dd9's self-sizing rule): value·n_parts >
+    // 2·total, exact in decimal(38,0)/HUGEINT. Still the Q11 shape — a
+    // scalar-subquery HAVING via the house 1-ROW-BROADCAST, computed
+    // once, no second scan. Top-100 by (value desc, partkey) TakeOrdered.
+    Q("tq11_important_stock",
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+        |           * CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |       JOIN supplier ON l_suppkey = s_suppkey
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_1'
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS HUGEINT) AS n_parts,
+        |             CAST(sum(CAST(value_c AS HUGEINT)) AS HUGEINT) AS total FROM v)
+        |SELECT l_partkey, value_c FROM v, t
+        |WHERE CAST(value_c AS HUGEINT) * n_parts > 2 * total
+        |ORDER BY value_c DESC, l_partkey LIMIT 100""".stripMargin) { (s, d) =>
+      val sn = supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_1")
+          .select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), cents(col("p_retailprice")).as("retail_c"))
+      val v = lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("cast(round(l_quantity) as bigint)").as("qty"))
+        .join(sn, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(sum(col("qty") * col("retail_c")).cast("long").as("value_c"))
+      val tot = v.agg(count(lit(1)).cast("decimal(38,0)").as("n_parts"),
+        sum(col("value_c").cast("decimal(38,0)")).as("total"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("value_c").cast("decimal(38,0)") * col("n_parts")
+          > lit(2) * col("total"))
+        .select(col("l_partkey"), col("value_c"))
+        .orderBy(col("value_c").desc, col("l_partkey"))
+        .limit(100)
+    },
+
+    // ── TQ12: shipping-priority audit (TPC-H Q12's shape) — among lines
+    // shipped LATE (>180 days after the order) during 1996, how many
+    // belonged to high- vs low-priority orders, per return class (this
+    // schema's shipmode stand-in)? ONE fact-fact join (both sides
+    // pre-filtered + column-pruned) into ONE conditional aggregate over
+    // ≤3 cells — Q12's lesson that the "two counts" are one pass, not two.
+    Q("tq12_priority_lateness",
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 180 DAY
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+      val o = orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).cast("long").as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).cast("long").as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+
+    // ── TQ16: supplier-count by part attributes (TPC-H Q16's shape) —
+    // how many DISTINCT suppliers stock each non-PROMO (brand, type,
+    // size) combination, excluding complaint suppliers (stand-in:
+    // negative account balance)? The NOT-IN decorrelates to a LEFT-ANTI
+    // join against the (small, filtered) exclusion set; the supply
+    // relation is the distinct (part, supplier) pair table off lineitem;
+    // count(DISTINCT) runs keyed on the bounded attribute grid.
+    Q("tq16_supplier_count",
+      """WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0),
+        |j AS (SELECT p_brand, p_type, p_size, l_suppkey
+        |      FROM supply JOIN part ON l_partkey = p_partkey
+        |      WHERE p_type <> 'PROMO' AND p_size <= 25
+        |        AND l_suppkey NOT IN (SELECT s_suppkey FROM excl))
+        |SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM j GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100""".stripMargin) { (s, d) =>
+      val supply = lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+      val p = Tables.part(s, d)
+        .filter(col("p_type") =!= "PROMO" && col("p_size") <= 25)
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val excl = supplier(s, d).filter(col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+      supply
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").cast("long").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+        .limit(100)
+    },
+
+    // ── TQ20: potential promotion (TPC-H Q20's shape) — NATION_2
+    // suppliers who moved real PROMO volume (>50 units of some promo part
+    // in 1996): the nested semi-join CHAIN — part filter → per-(supplier,
+    // part) HAVING agg → distinct supplier set → semi join the supplier
+    // dim. Every level shrinks before the next touches it: the fact is
+    // pre-filtered to the year and the promo semi-prune BEFORE its one
+    // keyed agg, and the supplier dim probe is a semi join on the
+    // qualifying-supplier set (never a fact shuffle).
+    Q("tq20_potential_promotion",
+      """WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+        |q AS (SELECT l_suppkey
+        |      FROM lineitem JOIN promo ON l_partkey = p_partkey
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate < TIMESTAMP '1997-01-01'
+        |      GROUP BY l_suppkey, l_partkey
+        |      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 30),
+        |nat AS (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_9')
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM supplier JOIN nat ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM q)
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val promo = Tables.part(s, d).filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val q = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("cast(round(l_quantity) as bigint)").as("qty"))
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum("qty").as("q"))
+        .filter(col("q") > 30L)
+        .select("l_suppkey").distinct()
+      supplier(s, d)
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_9")
+          .select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(q, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     })
 }

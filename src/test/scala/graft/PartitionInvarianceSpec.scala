@@ -103,7 +103,15 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // depend on merge order), tq22's truncating global
                    // average + anti join
                    "tq1_pricing_summary", "tq10_returned_items",
-                   "tq15_top_supplier", "tq22_dormant_customers")) {
+                   "tq15_top_supplier", "tq22_dormant_customers",
+                   // mwu1's decimal rank sums + single-sqrt double finish,
+                   // kt1's day-grain pair signs + truncating ppm
+                   "mwu1_mann_whitney", "kt1_kendall_tau",
+                   // TPC-H completion wave C: tq2's window-min tie set,
+                   // tq11's 1-row-broadcast threshold on decimal sums,
+                   // tq16's anti-join + distinct-count grid
+                   "tq2_min_cost_supplier", "tq11_important_stock",
+                   "tq16_supplier_count")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),

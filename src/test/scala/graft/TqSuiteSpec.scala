@@ -328,4 +328,163 @@ class TqSuiteSpec extends SparkSpec {
     assert(p.contains("struct<o_custkey:bigint,o_orderdate:timestamp"),
       s"orders scan not pruned to (custkey, orderdate):\n$p")
   }
+
+  // ── tq2 ──────────────────────────────────────────────────────────────────
+
+  private def writeRegionNation(dir: String): Unit = {
+    import spark.implicits._
+    Seq((0, "EUROPE"), (1, "ASIA")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    Seq((1, "NATION_1", 0), (2, "NATION_2", 0), (3, "NATION_3", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+  }
+
+  test("tq2: per-part minimum over EUROPE suppliers; min ties all return") {
+    import spark.implicits._
+    val dir = tmpDir("tq2a")
+    writeRegionNation(dir)
+    // s1/s2 EUROPE (bal 5.00 / 3.00), s3 ASIA (bal 1.00 — cheapest but
+    // outside the region, must not win)
+    Seq((1L, "s1", 1, 5.00), (2L, "s2", 2, 3.00), (3L, "s3", 3, 1.00))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, "big bolt", "LARGE", 3), (2L, "odd nut", "LARGE", 30))
+      .toDF("p_partkey", "p_name", "p_type", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // part 1 supplied by all three (twice by s1 — supply must distinct)
+    writeLineitem(dir, Seq(
+      (1L, 1L, 1L, 1.0, 1.00, 0.0, 0.0, "N", "O", "1996-01-01"),
+      (2L, 1L, 1L, 1.0, 1.00, 0.0, 0.0, "N", "O", "1996-01-02"),
+      (3L, 1L, 2L, 1.0, 1.00, 0.0, 0.0, "N", "O", "1996-01-03"),
+      (4L, 1L, 3L, 1.0, 1.00, 0.0, 0.0, "N", "O", "1996-01-04"),
+      (5L, 2L, 1L, 1.0, 1.00, 0.0, 0.0, "N", "O", "1996-01-05"))) // size-30 part: out
+    val rows = q("tq2_min_cost_supplier")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(5)))
+    assert(rows.toSeq == Seq((1L, 2L, 300L)), s"got ${rows.toSeq}")
+  }
+
+  test("tq2: the correlated min is a window — one supply-pair shuffle, no self-join") {
+    val p = plan("tq2_min_cost_supplier")
+    assert(p.contains("Window"), s"per-part min not a window:\n$p")
+  }
+
+  // ── tq9 ──────────────────────────────────────────────────────────────────
+
+  test("tq9: profit = revenue minus retail cost, by nation and year") {
+    import spark.implicits._
+    val dir = tmpDir("tq9a")
+    writeRegionNation(dir)
+    Seq((1L, "s1", 1), (2L, "s2", 2)).toDF("s_suppkey", "s_name", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, "red widget", "PROMO", 1.00), (2L, "blue bolt", "PROMO", 9.00))
+      .toDF("p_partkey", "p_name", "p_type", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    writeOrders(dir, Seq(
+      (1L, 10L, "5-LOW", "1996-03-01"), (2L, 10L, "5-LOW", "1997-03-01")))
+    writeLineitem(dir, Seq(
+      // red part, qty 2, price 10.00, no disc: r4 = 1000*100 = 100000 c4;
+      // cost = 100c*2*100 = 20000 c4 -> profit 80000
+      (1L, 1L, 1L, 2.0, 10.00, 0.0, 0.0, "N", "O", "1996-04-01"),
+      // blue part: name has no 'red' -> excluded
+      (2L, 2L, 2L, 1.0, 50.00, 0.0, 0.0, "N", "O", "1997-04-01")))
+    val rows = q("tq9_product_type_profit")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("NATION_1", 1996L, 80000L)), s"got ${rows.toSeq}")
+  }
+
+  // ── tq11 ─────────────────────────────────────────────────────────────────
+
+  test("tq11: only parts above twice the average part value survive") {
+    import spark.implicits._
+    val dir = tmpDir("tq11a")
+    writeRegionNation(dir)
+    Seq((1L, "s1", 1), (2L, "s2", 2)).toDF("s_suppkey", "s_name", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    // 10001 parts of value 100c each + one of 10000c: total = 1010100,
+    // n = 10002. value·n > 2·total: 100·10002 = 1000200 < 2020200 fails;
+    // 10000·10002 = 100020000 passes — ONLY the big part survives
+    val parts = (1L to 10001L).map(i => (i, 1.00)) :+ (20000L, 100.00)
+    parts.toDF("p_partkey", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val lines = (1L to 10001L).map(i =>
+      (i, i, 1L, 1.0, 1.00, 0.0, 0.0, "N", "O", "1996-01-01")) :+
+      ((20000L, 20000L, 1L, 1.0, 1.00, 0.0, 0.0, "N", "O", "1996-01-01"))
+    writeLineitem(dir, lines)
+    val rows = q("tq11_important_stock")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((20000L, 10000L)), s"got ${rows.toSeq}")
+  }
+
+  // ── tq12 ─────────────────────────────────────────────────────────────────
+
+  test("tq12: late 1996 lines split into high/low priority per return class") {
+    val dir = tmpDir("tq12a")
+    writeOrders(dir, Seq(
+      (1L, 10L, "1-URGENT", "1995-06-01"),
+      (2L, 10L, "5-LOW", "1995-06-01"),
+      (3L, 10L, "2-HIGH", "1996-05-01")))
+    writeLineitem(dir, Seq(
+      (1L, 1L, 1L, 1.0, 1.00, 0.0, 0.0, "R", "O", "1996-03-01"), // late, high
+      (2L, 1L, 1L, 1.0, 1.00, 0.0, 0.0, "R", "O", "1996-03-02"), // late, low
+      (2L, 1L, 1L, 1.0, 1.00, 0.0, 0.0, "N", "O", "1996-03-03"), // late, low, class N
+      (3L, 1L, 1L, 1.0, 1.00, 0.0, 0.0, "R", "O", "1996-06-01"), // NOT late (31d)
+      (1L, 1L, 1L, 1.0, 1.00, 0.0, 0.0, "R", "O", "1997-03-01"))) // outside 1996
+    val rows = q("tq12_priority_lateness")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("N", 0L, 1L), ("R", 1L, 1L)), s"got ${rows.toSeq}")
+  }
+
+  // ── tq16 ─────────────────────────────────────────────────────────────────
+
+  test("tq16: distinct suppliers per attribute triple, complaints excluded") {
+    import spark.implicits._
+    val dir = tmpDir("tq16a")
+    Seq((1L, "s1", 1, 5.00), (2L, "s2", 1, -1.00), (3L, "s3", 1, 2.00))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, "Brand#1", "SMALL", 5), (2L, "Brand#1", "SMALL", 5),
+        (3L, "Brand#2", "PROMO", 5))
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    writeLineitem(dir, Seq(
+      (1L, 1L, 1L, 1.0, 1.00, 0.0, 0.0, "N", "O", "1996-01-01"),
+      (2L, 1L, 1L, 1.0, 1.00, 0.0, 0.0, "N", "O", "1996-01-02"), // dup pair
+      (3L, 2L, 1L, 1.0, 1.00, 0.0, 0.0, "N", "O", "1996-01-03"),
+      (4L, 2L, 3L, 1.0, 1.00, 0.0, 0.0, "N", "O", "1996-01-04"),
+      (5L, 1L, 2L, 1.0, 1.00, 0.0, 0.0, "N", "O", "1996-01-05"), // s2: excluded
+      (6L, 3L, 1L, 1.0, 1.00, 0.0, 0.0, "N", "O", "1996-01-06"))) // PROMO: excluded
+    val rows = q("tq16_supplier_count")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    // (Brand#1, SMALL, 5): suppliers {s1 (parts 1+2), s3 (part 2)} = 2
+    assert(rows.toSeq == Seq(("Brand#1", "SMALL", 5, 2L)), s"got ${rows.toSeq}")
+  }
+
+  // ── tq20 ─────────────────────────────────────────────────────────────────
+
+  test("tq20: only NATION_9 suppliers with >30 promo units on ONE part qualify") {
+    import spark.implicits._
+    val dir = tmpDir("tq20a")
+    Seq((9, "NATION_9", 0), (1, "NATION_1", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, "s1", 9, 1.0), (2L, "s2", 9, 1.0), (3L, "s3", 1, 1.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, "a", "PROMO", 1), (2L, "b", "STANDARD", 1))
+      .toDF("p_partkey", "p_name", "p_type", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    writeLineitem(dir, Seq(
+      // s1: 20+20 = 40 promo units on part 1 -> qualifies
+      (1L, 1L, 1L, 20.0, 1.00, 0.0, 0.0, "N", "O", "1996-02-01"),
+      (2L, 1L, 1L, 20.0, 1.00, 0.0, 0.0, "N", "O", "1996-03-01"),
+      // s2: 40 units but split 20 promo / 20 STANDARD -> promo only 20: out
+      (3L, 1L, 2L, 20.0, 1.00, 0.0, 0.0, "N", "O", "1996-04-01"),
+      (4L, 2L, 2L, 20.0, 1.00, 0.0, 0.0, "N", "O", "1996-05-01"),
+      // s3: 40 promo units but NATION_1 -> out
+      (5L, 1L, 3L, 40.0, 1.00, 0.0, 0.0, "N", "O", "1996-06-01")))
+    val rows = q("tq20_potential_promotion")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "s1")), s"got ${rows.toSeq}")
+  }
 }
