@@ -111,7 +111,16 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // tq11's 1-row-broadcast threshold on decimal sums,
                    // tq16's anti-join + distinct-count grid
                    "tq2_min_cost_supplier", "tq11_important_stock",
-                   "tq16_supplier_count")) {
+                   "tq16_supplier_count",
+                   // wave 7: prc1/tm1's ECDF windows over distinct-score
+                   // tables, ka1's four-cell conditional agg, rg1's decimal
+                   // sufficient stats + single-row Cramer solve, nb1's
+                   // micro-ln score sums + per-doc argmax tie-break, gm1's
+                   // capped edge build + decimal community sums, lk1's
+                   // wedge self-join + truncating per-term division
+                   "prc1_pr_curve", "tm1_trimmed_mean", "ka1_cohens_kappa",
+                   "rg1_ridge_regression", "nb1_naive_bayes",
+                   "gm1_modularity", "lk1_adamic_adar")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),
