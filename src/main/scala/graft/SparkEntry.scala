@@ -15,7 +15,8 @@ object SparkEntry {
     RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
       StreamingQueries.all ++ MultimodalQueries.all ++ CorpusQueries.all ++
       AnalyticsQueries.all ++ MlQueries.all ++ EvalQueries.all ++
-      StatQueries.all ++ TqSuiteQueries.all ++ Wave7Queries.all
+      StatQueries.all ++ TqSuiteQueries.all ++ Wave7Queries.all ++
+      Wave8Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

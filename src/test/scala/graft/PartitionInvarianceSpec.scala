@@ -120,7 +120,14 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // wedge self-join + truncating per-term division
                    "prc1_pr_curve", "tm1_trimmed_mean", "ka1_cohens_kappa",
                    "rg1_ridge_regression", "nb1_naive_bayes",
-                   "gm1_modularity", "lk1_adamic_adar")) {
+                   "gm1_modularity", "lk1_adamic_adar",
+                   // wave 8: cd1's first-seen agg + day window, fc1's
+                   // calendar self-join + per-day ppm truncation, dq5's
+                   // double aggregate + ff-table order stats, mv2's
+                   // partial-view union re-agg, pt1's per-user rank
+                   // tie-break
+                   "cd1_cumulative_distinct", "fc1_backtest_mape",
+                   "dq5_key_skew", "mv2_join_delta", "pt1_top_paths")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),
