@@ -84,6 +84,81 @@ object PageRank {
     pr
   }
 
+  /** Personalized PageRank: the teleport mass lands ONLY on `seeds0`
+    * (restricted to nodes present in the graph), uniformly 0.15/|S| —
+    * "what's near THESE nodes" instead of gr1's global importance. Same
+    * scale contract as [[run]]: edges partitioned once and cached, per
+    * round only the rank side shuffles, per-round rounding keeps the two
+    * engines in lockstep, localCheckpoint bounds lineage. Seeds travel as
+    * a broadcast (a seed set is query input, dimension-sized).
+    */
+  def runPersonalized(edges0: DataFrame, seeds0: DataFrame, iters: Int,
+      teleport: Double = 0.15, damping: Double = 0.85,
+      roundTo: Int = 9): DataFrame = {
+    val g = prepare(edges0)
+    val seeds = seeds0.select("node")
+      .join(g.nodes, Seq("node"), "left_semi").distinct().localCheckpoint()
+    val ns = seeds.agg(count(lit(1)).as("ns"))
+    def teleportTerm: org.apache.spark.sql.Column =
+      when(col("is_seed").isNotNull, lit(teleport) / col("ns")).otherwise(lit(0.0))
+    def withSeed(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(ns))
+      .join(broadcast(seeds.withColumn("is_seed", lit(1))), Seq("node"), "left")
+    var pr = withSeed(g.nodes)
+      .select(col("node"),
+        round(when(col("is_seed").isNotNull, lit(1.0) / col("ns"))
+          .otherwise(lit(0.0)), roundTo).as("pr"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val contribs = g.edges
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(g.deg, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("deg")).as("in_c"))
+      pr = withSeed(g.nodes)
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(teleportTerm
+            + lit(damping) * coalesce(col("in_c"), lit(0.0)), roundTo).as("pr"))
+        .localCheckpoint()
+    }
+    g.edges.unpersist()
+    pr
+  }
+
+  /** [[runPersonalized]] as one DuckDB query: `edgesSql` must define CTEs
+    * `ed(src, dst)` AND `seeds0(node)`.
+    */
+  def personalizedSql(edgesSql: String, iters: Int, topK: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT n2.node,
+         |         round(CASE WHEN s.node IS NOT NULL THEN 0.15 / ns.ns ELSE 0 END
+         |               + 0.85 * coalesce(c.s, 0), 9) AS pr
+         |  FROM nodes n2 CROSS JOIN ns
+         |  LEFT JOIN seeds s ON s.node = n2.node
+         |  LEFT JOIN (SELECT ed.dst AS node, sum(p.pr / d.deg) AS s
+         |             FROM ed JOIN $prev p ON p.node = ed.src
+         |             JOIN deg d ON d.src = ed.src
+         |             GROUP BY 1) c ON c.node = n2.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesSql,
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node FROM ed
+       |  UNION SELECT DISTINCT dst FROM ed),
+       |seeds AS MATERIALIZED (
+       |  SELECT DISTINCT s0.node FROM seeds0 s0 JOIN nodes USING (node)),
+       |ns AS (SELECT count(*) AS ns FROM seeds),
+       |p0 AS (SELECT n2.node,
+       |         round(CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.ns ELSE 0 END, 9) AS pr
+       |       FROM nodes n2 CROSS JOIN ns LEFT JOIN seeds s ON s.node = n2.node),
+       |$rounds
+       |SELECT node, pr FROM p$iters
+       |WHERE pr > 0 ORDER BY pr DESC, node LIMIT $topK""".stripMargin
+  }
+
   /** The identical computation as one DuckDB query: `edgesSql` must define
     * CTEs `ed(src, dst)`; iterations unroll as materialized CTEs (the same
     * pattern as graft.dedup.Clusters.unrolledSql).

@@ -127,7 +127,15 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // partial-view union re-agg, pt1's per-user rank
                    // tie-break
                    "cd1_cumulative_distinct", "fc1_backtest_mape",
-                   "dq5_key_skew", "mv2_join_delta", "pt1_top_paths")) {
+                   "dq5_key_skew", "mv2_join_delta", "pt1_top_paths",
+                   // wave 9: ppr1's per-round rounded push, km3's
+                   // TakeOrdered(1) argmax chain, v2's bounded top-k
+                   // collect + pivot/unpivot, rp1's GlobalIds sample
+                   // ranks + interval join, ci1's bucket sums + one-sqrt
+                   // finish
+                   "ppr1_personalized_pagerank", "km3_farthest_init",
+                   "v2_pivot_topk_other", "rp1_range_splits",
+                   "ci1_jackknife")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),
