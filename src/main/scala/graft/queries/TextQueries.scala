@@ -90,7 +90,7 @@ object TextQueries {
   /** Full-corpus pair table, memoized like the shingles (dd2 and dd6 both
     * consume it in one driver session — the inverted-index join runs once).
     */
-  private def allPairsDf(s: SparkSession, d: String): DataFrame =
+  private[queries] def allPairsDf(s: SparkSession, d: String): DataFrame =
     graft.CacheRegistry.memoized(s, d, "pairs")(pairJaccard(shinglesDf(s, d)))
 
   /** Materialize the shared memoized stages (shingles + pair table) for a

@@ -235,11 +235,20 @@ object Wave9Queries {
       val first = b.agg(min(when(col("j") === 1, col("k"))).as("hi"))
         .select(lit(0L).as("split_no"), lit(null).cast("long").as("lo"), col("hi"))
       val iv0 = first.unionByName(iv)
-      val cts = iv0.join(li.select(col("l_orderkey")),
+      // INNER fact⋈broadcast(intervals), empties restored by a 16×16 left
+      // join AFTER the aggregate: a LEFT join FROM the 16-row side would
+      // force Spark to broadcast the FACT (the build side of a left-outer
+      // BNLJ is the right side) — a 4 GiB broadcast at sf10, caught by the
+      // scale bench
+      val hits = li.select(col("l_orderkey"))
+        .join(broadcast(iv0),
           (col("lo").isNull || col("l_orderkey") >= col("lo"))
-            && (col("hi").isNull || col("l_orderkey") < col("hi")), "left")
-        .groupBy("split_no", "lo", "hi")
-        .agg(count(col("l_orderkey")).cast("long").as("n_rows"))
+            && (col("hi").isNull || col("l_orderkey") < col("hi")))
+        .groupBy("split_no")
+        .agg(count(lit(1)).cast("long").as("n_rows"))
+      val cts = iv0.join(hits, Seq("split_no"), "left")
+        .select(col("split_no"), col("lo"), col("hi"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"))
       val tot = li.agg(count(lit(1)).cast("long").as("nt"))
       cts.crossJoin(broadcast(tot))
         .select(col("split_no"), col("lo"), col("hi"), col("n_rows"),

@@ -135,7 +135,12 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // finish
                    "ppr1_personalized_pagerank", "km3_farthest_init",
                    "v2_pivot_topk_other", "rp1_range_splits",
-                   "ci1_jackknife")) {
+                   "ci1_jackknife",
+                   // wave 10: dd11's df-capped pair projection, pm1's md5
+                   // permutation parities + decimal cross-multiplication,
+                   // rbo1's TakeOrdered rankings × literal power grid
+                   "dd11_containment", "pm1_permutation_test",
+                   "rbo1_rank_overlap")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),
