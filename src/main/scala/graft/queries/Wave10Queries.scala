@@ -52,15 +52,18 @@ object Wave10Queries {
         |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
         |          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
         |SELECT a, b, inter, CAST(sa.sz AS BIGINT) AS sza, CAST(sb.sz AS BIGINT) AS szb,
-        |       CAST((CAST(inter AS HUGEINT) * 1000000) // least(sa.sz, sb.sz) AS BIGINT) AS cont_ppm
+        |       (inter * 1000000) // least(sa.sz, sb.sz) AS cont_ppm
         |FROM pairs JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-        |WHERE (CAST(inter AS HUGEINT) * 1000000) // least(sa.sz, sb.sz) >= 900000
+        |WHERE (inter * 1000000) // least(sa.sz, sb.sz) >= 900000
         |ORDER BY a, b""".stripMargin) { (s, d) =>
+      // plain LONG arithmetic: inter is bounded by shingles/doc (<= 1022 on
+      // any corpus — the 1024-token cap), so inter*1e6 <= ~1e9, nowhere
+      // near 2^63; the decimal form cost 11x dd2's scan of the SAME cached
+      // pair table at sf10 (7.4 s vs 0.7 s — 25M per-row decimal multiplies)
       TextQueries.allPairsDf(s, d)
         .select(col("a"), col("b"), col("inter").cast("long").as("inter"),
           col("sza").cast("long").as("sza"), col("szb").cast("long").as("szb"),
-          expr("cast((cast(inter as decimal(38,0)) * 1000000)" +
-            " div least(sza, szb) as bigint)").as("cont_ppm"))
+          expr("(inter * 1000000L) div least(sza, szb)").as("cont_ppm"))
         .filter(col("cont_ppm") >= 900000L)
         .orderBy("a", "b")
     },

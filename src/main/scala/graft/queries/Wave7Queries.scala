@@ -460,10 +460,16 @@ object Wave7Queries {
         |FROM s""".stripMargin) { (s, d) =>
       val base = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("s"))
+      // materialize the capped edge build ONCE (PageRank.prepare's device:
+      // serialized columnar persist, spill-safe — a localCheckpoint stores
+      // DESERIALIZED rows and OOMed local[32] on the 113M-edge sf10 graph),
+      // and derive m from deg (Σdeg = 2m) so e is scanned twice, not
+      // three times (kc1's recompute lesson)
       val e = AnalyticsQueries.coPurchaseEdges(base, maxOrderFanout = Some(16))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = e.select(col("a").as("n")).unionAll(e.select(col("b")))
         .groupBy("n").agg(count(lit(1)).cast("long").as("dg"))
-      val m = e.agg(count(lit(1)).cast("long").as("m"))
+      val m = deg.agg(expr("cast(sum(dg) div 2 as bigint)").as("m"))
       val nb = Tables.part(s, d)
         .select(col("p_partkey").as("n"), col("p_brand").as("c"))
       val dc = deg.join(nb, "n")
@@ -534,7 +540,10 @@ object Wave7Queries {
     }) { (s, d) =>
       val base = Tables.lineitem(s, d).filter(col("l_quantity") >= 48)
         .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
+      // deg, both adj orientations and the anti join all scan e — persist
+      // the capped build once (gm1's serialized-persist lesson)
       val e = AnalyticsQueries.coPurchaseEdges(base, maxOrderFanout = Some(25))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = e.select(col("a").as("n")).unionAll(e.select(col("b")))
         .groupBy("n").agg(count(lit(1)).cast("long").as("d"))
       val adj = e.select(col("a").as("mid"), col("b").as("nb"))
