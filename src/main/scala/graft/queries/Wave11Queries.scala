@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Round-12 extensions, wave 11: emb9 binary quantization with Hamming
+  * shortlist + exact rerank (the 1-bit end of the compression ladder
+  * emb1→emb7→emb2; the BQ-then-rescore pattern modern vector stores ship),
+  * at2 position-weighted multi-touch attribution (the U-shaped model above
+  * at1's last-touch), and s6 a bounded ordered LISTAGG (the string_agg
+  * surface, made scale-safe by ranking BEFORE collecting).
+  *
+  * Determinism contracts: emb9's signatures are pure bit arithmetic and
+  * its rerank the km1 family's round(·,4) cosine; at2's credits are
+  * integer ppm with truncating division per middle touch (mi1's per-cell
+  * class), ties in every rank broken by event_id; s6 collects a
+  * rank-bounded list sorted before concatenation.
+  *
+  * Scale design (100 TB):
+  *  - emb9 stores TWO BIGINT words per vector (64× smaller than the raw
+  *    floats); the Hamming scan touches only signatures, raw vectors are
+  *    fetched by the ≤(queries×32)-row shortlist join (emb8's refine
+  *    shape); per-query windows are bounded by the shortlist.
+  *  - at2's conversion⋈touch join keys on user_id with the 7-day range
+  *    as a residual; credit windows are keyed per conversion.
+  *  - s6 ranks suppliers per nation in a KEYED window (w2's class) and
+  *    collects only the ≤10 survivors per group — collect_list state is
+  *    bounded by construction, never by luck.
+  */
+object Wave11Queries {
+
+  def all: Seq[Q] = Seq(
+
+    // ── EMB9: binary quantization + Hamming shortlist + exact rerank —
+    // the 1-bit extreme of the compression ladder (emb1 int8 4×, emb7
+    // block fp8, emb2/3/4 PQ ~16-32×; emb9 is 64×: sign bits packed into
+    // two BIGINT words). Search = Hamming distance on signatures (XOR +
+    // popcount — pure integer, identical on both engines), overfetch a
+    // 32-candidate shortlist, then EXACT cosine rerank of only those
+    // (emb8's refine pattern) to the final top-3. 100 TB: the corpus
+    // scan reads 16 bytes/vector; raw floats are fetched by the
+    // (queries×32)-row broadcast semi-join, never scanned.
+    Q("emb9_binary_quant",
+      """WITH sig AS (SELECT vec_id,
+        |         CAST(sum(CASE WHEN r.range < 32 AND embedding[r.range+1] > 0
+        |                       THEN (CAST(1 AS BIGINT) << r.range) ELSE 0 END) AS BIGINT) AS lo,
+        |         CAST(sum(CASE WHEN r.range >= 32 AND embedding[r.range+1] > 0
+        |                       THEN (CAST(1 AS BIGINT) << (r.range - 32)) ELSE 0 END) AS BIGINT) AS hi
+        |       FROM embeddings, range(64) r GROUP BY 1),
+        |q AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM sig WHERE vec_id < 10),
+        |h AS (SELECT q.qid, s.vec_id AS nid,
+        |        CAST(bit_count(xor(q.qlo, s.lo)) + bit_count(xor(q.qhi, s.hi)) AS BIGINT) AS ham
+        |      FROM q JOIN sig s ON s.vec_id <> q.qid),
+        |sl AS (SELECT qid, nid, ham,
+        |         row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rn
+        |       FROM h),
+        |cand AS (SELECT qid, nid FROM sl WHERE rn <= 32),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS ve,
+        |        sqrt(array_inner_product(CAST(embedding AS DOUBLE[64]),
+        |                                 CAST(embedding AS DOUBLE[64]))) AS nrm
+        |      FROM embeddings),
+        |sc AS (SELECT c.qid, c.nid,
+        |         round(array_inner_product(vq.ve, vn.ve) / (vq.nrm * vn.nrm), 4) AS cos_sim
+        |       FROM cand c JOIN v vq ON vq.vec_id = c.qid JOIN v vn ON vn.vec_id = c.nid),
+        |rr AS (SELECT qid, nid, cos_sim,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rn
+        |       FROM sc)
+        |SELECT qid, nid, cos_sim FROM rr WHERE rn <= 3
+        |ORDER BY qid, cos_sim DESC, nid""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val sig = emb.select(col("vec_id"),
+        expr("aggregate(transform(sequence(0, 31)," +
+          " i -> IF(embedding[i] > 0F, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)")
+          .as("lo"),
+        expr("aggregate(transform(sequence(32, 63)," +
+          " i -> IF(embedding[i] > 0F, shiftleft(1L, i - 32), 0L)), 0L, (a, x) -> a + x)")
+          .as("hi"))
+      val q = sig.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
+      val h = sig.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (expr("bit_count(qlo ^ lo)") + expr("bit_count(qhi ^ hi)"))
+            .cast("long").as("ham"))
+      val wq = Window.partitionBy("qid").orderBy(col("ham"), col("nid"))
+      val cand = h.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 32).select("qid", "nid")
+      val sc = cand
+        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+        .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")), "nid")
+        .select(col("qid"), col("nid"),
+          round(expr("cosine_sim(qe, ne)"), 4).as("cos_sim"))
+      val wr = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+      sc.withColumn("rn", row_number().over(wr)).filter(col("rn") <= 3)
+        .select("qid", "nid", "cos_sim")
+        .orderBy(col("qid"), col("cos_sim").desc, col("nid"))
+    },
+
+    // ── AT2: position-weighted (U-shaped) multi-touch attribution — at1
+    // gives the last touch 100%; the U-shaped model marketing teams
+    // actually reconcile against gives 40% to the FIRST touch, 40% to the
+    // LAST, and splits 20% among the middles: per purchase, the same
+    // user's view/click/signup events in the preceding 7 days rank by
+    // (ts, event_id); credits are integer ppm — n=1 → 1e6, n=2 → 5e5
+    // each, n≥3 → 4e5/4e5 ends + 2e5 div (n−2) per middle (truncating
+    // per middle — mi1's per-cell class; the sub-ppm remainder is
+    // documented unassigned). 100 TB: ONE user-keyed join with the time
+    // range as a residual predicate; the rank window is keyed per
+    // conversion.
+    Q("at2_position_weighted",
+      """WITH c AS (SELECT event_id AS cid, user_id, CAST(ts AS TIMESTAMP) AS cts
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS tid, user_id, event_type,
+        |             CAST(ts AS TIMESTAMP) AS tts
+        |      FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        |j AS (SELECT c.cid, t.tid, t.event_type,
+        |        row_number() OVER (PARTITION BY c.cid ORDER BY t.tts, t.tid) AS rk,
+        |        count(*) OVER (PARTITION BY c.cid) AS n
+        |      FROM c JOIN t ON t.user_id = c.user_id
+        |        AND t.tts < c.cts AND t.tts >= c.cts - INTERVAL 7 DAY),
+        |cr AS (SELECT event_type,
+        |         CASE WHEN n = 1 THEN 1000000
+        |              WHEN n = 2 THEN 500000
+        |              WHEN rk = 1 OR rk = n THEN 400000
+        |              ELSE 200000 // (n - 2) END AS ppm
+        |       FROM j)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(sum(ppm) AS BIGINT) AS credit_ppm
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val c = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("cid"), col("user_id").as("cu"),
+          col("ts").as("cts"))
+      val t = ev.filter(col("event_type").isin("view", "click", "signup"))
+        .select(col("event_id").as("tid"), col("user_id").as("tu"),
+          col("event_type"), col("ts").as("tts"))
+      val j = c.join(t, col("tu") === col("cu")
+          && col("tts") < col("cts")
+          && col("tts") >= col("cts") - expr("INTERVAL 7 DAY"))
+      val wr = Window.partitionBy("cid").orderBy(col("tts"), col("tid"))
+      val wn = Window.partitionBy("cid")
+      j.withColumn("rk", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn).cast("long"))
+        .select(col("event_type"),
+          when(col("n") === 1L, 1000000L)
+            .when(col("n") === 2L, 500000L)
+            .when(col("rk") === 1L || col("rk") === col("n"), 400000L)
+            .otherwise(expr("200000L div (n - 2)")).as("ppm"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_touches"),
+          sum("ppm").cast("long").as("credit_ppm"))
+        .orderBy("event_type")
+    },
+
+    // ── S6: bounded ordered LISTAGG — the string_agg/LISTAGG surface done
+    // scale-safely: the 10 alphabetically-first supplier names per nation,
+    // ranked in a KEYED window FIRST (w2's class) so the collect_list that
+    // follows holds ≤ 10 elements per group BY CONSTRUCTION (a bare
+    // collect_list caps state only by luck); the list sorts before
+    // concatenation so the string is order-deterministic whatever the
+    // merge order.
+    Q("s6_ordered_listagg",
+      """WITH r AS (SELECT s_nationkey, s_name,
+        |             row_number() OVER (PARTITION BY s_nationkey ORDER BY s_name, s_suppkey) AS rk
+        |           FROM supplier)
+        |SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_kept,
+        |       string_agg(s_name, ',' ORDER BY s_name) AS names_csv
+        |FROM r WHERE rk <= 10 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val wr = Window.partitionBy("s_nationkey")
+        .orderBy(col("s_name"), col("s_suppkey"))
+      Tables.supplier(s, d)
+        .withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= 10)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          concat_ws(",", array_sort(collect_list(col("s_name")))).as("names_csv"))
+        .orderBy("nationkey")
+    }
+  )
+}

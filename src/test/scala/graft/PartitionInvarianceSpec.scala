@@ -140,7 +140,12 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // permutation parities + decimal cross-multiplication,
                    // rbo1's TakeOrdered rankings × literal power grid
                    "dd11_containment", "pm1_permutation_test",
-                   "rbo1_rank_overlap")) {
+                   "rbo1_rank_overlap",
+                   // wave 11: emb9's bit-pack + Hamming rank + rerank
+                   // windows, at2's per-conversion rank tie-breaks + ppm
+                   // division, s6's rank-before-collect + sorted concat
+                   "emb9_binary_quant", "at2_position_weighted",
+                   "s6_ordered_listagg")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),
