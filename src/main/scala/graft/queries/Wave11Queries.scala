@@ -108,13 +108,18 @@ object Wave11Queries {
     // per middle — mi1's per-cell class; the sub-ppm remainder is
     // documented unassigned). 100 TB: ONE user-keyed join with the time
     // range as a residual predicate; the rank window is keyed per
-    // conversion.
+    // conversion; users with > 256 touch events are excluded (the hot-key
+    // guard bounding the join fan-out a bot user would otherwise make
+    // quadratic — cap pinned in the oracle, inert on every driver corpus).
     Q("at2_position_weighted",
       """WITH c AS (SELECT event_id AS cid, user_id, CAST(ts AS TIMESTAMP) AS cts
         |           FROM events WHERE event_type = 'purchase'),
-        |t AS (SELECT event_id AS tid, user_id, event_type,
+        |t0 AS (SELECT event_id AS tid, user_id, event_type,
         |             CAST(ts AS TIMESTAMP) AS tts
         |      FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        |hot AS (SELECT user_id FROM t0 GROUP BY 1 HAVING count(*) > 256),
+        |t AS (SELECT * FROM t0
+        |      WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.user_id = t0.user_id)),
         |j AS (SELECT c.cid, t.tid, t.event_type,
         |        row_number() OVER (PARTITION BY c.cid ORDER BY t.tts, t.tid) AS rk,
         |        count(*) OVER (PARTITION BY c.cid) AS n
@@ -133,9 +138,17 @@ object Wave11Queries {
       val c = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("cid"), col("user_id").as("cu"),
           col("ts").as("cts"))
-      val t = ev.filter(col("event_type").isin("view", "click", "signup"))
+      val t0 = ev.filter(col("event_type").isin("view", "click", "signup"))
         .select(col("event_id").as("tid"), col("user_id").as("tu"),
           col("event_type"), col("ts").as("tts"))
+      // hot-user guard (fi1/gr2's cap class, pinned in the oracle): a bot
+      // with T touches and P purchases explodes the join to T*P rows —
+      // users over 256 touch events are excluded outright, bounding
+      // per-conversion fan-out; ~13 events/user on every driver corpus,
+      // so the cap is purely adversarial (spec-asserted inert)
+      val hot = t0.groupBy("tu").agg(count(lit(1)).as("ntouch"))
+        .filter(col("ntouch") > 256).select("tu")
+      val t = t0.join(broadcast(hot), Seq("tu"), "left_anti")
       val j = c.join(t, col("tu") === col("cu")
           && col("tts") < col("cts")
           && col("tts") >= col("cts") - expr("INTERVAL 7 DAY"))

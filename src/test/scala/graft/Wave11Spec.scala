@@ -112,6 +112,26 @@ class Wave11Spec extends SparkSpec {
       s"got $out")
   }
 
+  test("at2: a hot user over the 256-touch cap earns nothing; the cap is inert on testdata") {
+    val dir = tmpDir("at2d")
+    // bot user 7: 300 touches then a purchase -> excluded outright;
+    // normal user 8 still attributes
+    val bot = (1L to 300L).map(i =>
+      (i, 7L, f"2020-01-05 10:${i % 60}%02d:${i % 60}%02d", "view")) ++
+      Seq((400L, 7L, "2020-01-06 10:00:00", "purchase"))
+    val ok = Seq((500L, 8L, "2020-01-06 09:00:00", "click"),
+      (501L, 8L, "2020-01-06 10:00:00", "purchase"))
+    writeEvents(dir, bot ++ ok)
+    val out = SparkEntry.queries("at2_position_weighted")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("click", 1L, 1000000L)), s"got $out")
+    // and on the driver corpus the cap never bites (max touches/user ≪ 256)
+    val maxTouches = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type").isin("view", "click", "signup"))
+      .groupBy("user_id").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxTouches <= 256, s"cap no longer inert on testdata: $maxTouches")
+  }
+
   // ── s6 ───────────────────────────────────────────────────────────────────
 
   test("s6: ranks before collecting — only the 10 first names survive") {
