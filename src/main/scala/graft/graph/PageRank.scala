@@ -127,15 +127,19 @@ object PageRank {
   }
 
   /** [[runPersonalized]] as one DuckDB query: `edgesSql` must define CTEs
-    * `ed(src, dst)` AND `seeds0(node)`.
+    * `ed(src, dst)` AND `seeds0(node)`. teleport/damping/roundTo mirror
+    * [[runPersonalized]]'s parameters — a caller overriding them gets the
+    * same override in the oracle plan.
     */
-  def personalizedSql(edgesSql: String, iters: Int, topK: Int): String = {
+  def personalizedSql(edgesSql: String, iters: Int, topK: Int,
+      teleport: Double = 0.15, damping: Double = 0.85,
+      roundTo: Int = 9): String = {
     val rounds = (1 to iters).map { i =>
       val prev = if (i == 1) "p0" else s"p${i - 1}"
       s"""p$i AS MATERIALIZED (
          |  SELECT n2.node,
-         |         round(CASE WHEN s.node IS NOT NULL THEN 0.15 / ns.ns ELSE 0 END
-         |               + 0.85 * coalesce(c.s, 0), 9) AS pr
+         |         round(CASE WHEN s.node IS NOT NULL THEN $teleport / ns.ns ELSE 0 END
+         |               + $damping * coalesce(c.s, 0), $roundTo) AS pr
          |  FROM nodes n2 CROSS JOIN ns
          |  LEFT JOIN seeds s ON s.node = n2.node
          |  LEFT JOIN (SELECT ed.dst AS node, sum(p.pr / d.deg) AS s
@@ -152,7 +156,7 @@ object PageRank {
        |  SELECT DISTINCT s0.node FROM seeds0 s0 JOIN nodes USING (node)),
        |ns AS (SELECT count(*) AS ns FROM seeds),
        |p0 AS (SELECT n2.node,
-       |         round(CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.ns ELSE 0 END, 9) AS pr
+       |         round(CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.ns ELSE 0 END, $roundTo) AS pr
        |       FROM nodes n2 CROSS JOIN ns LEFT JOIN seeds s ON s.node = n2.node),
        |$rounds
        |SELECT node, pr FROM p$iters
@@ -161,13 +165,16 @@ object PageRank {
 
   /** The identical computation as one DuckDB query: `edgesSql` must define
     * CTEs `ed(src, dst)`; iterations unroll as materialized CTEs (the same
-    * pattern as graft.dedup.Clusters.unrolledSql).
+    * pattern as graft.dedup.Clusters.unrolledSql). teleport/damping/roundTo
+    * mirror [[run]]'s parameters.
     */
-  def unrolledSql(edgesSql: String, iters: Int, topK: Int): String = {
+  def unrolledSql(edgesSql: String, iters: Int, topK: Int,
+      teleport: Double = 0.15, damping: Double = 0.85,
+      roundTo: Int = 9): String = {
     val rounds = (1 to iters).map { i =>
       val prev = if (i == 1) "p0" else s"p${i - 1}"
       s"""p$i AS MATERIALIZED (
-         |  SELECT n2.node, round(0.15 / nn.n + 0.85 * coalesce(c.s, 0), 9) AS pr
+         |  SELECT n2.node, round($teleport / nn.n + $damping * coalesce(c.s, 0), $roundTo) AS pr
          |  FROM nodes n2 CROSS JOIN nn
          |  LEFT JOIN (SELECT ed.dst AS node, sum(p.pr / d.deg) AS s
          |             FROM ed JOIN $prev p ON p.node = ed.src
@@ -180,7 +187,7 @@ object PageRank {
        |  SELECT DISTINCT src AS node FROM ed
        |  UNION SELECT DISTINCT dst FROM ed),
        |nn AS (SELECT count(*) AS n FROM nodes),
-       |p0 AS (SELECT node, round(1.0 / nn.n, 9) AS pr FROM nodes CROSS JOIN nn),
+       |p0 AS (SELECT node, round(1.0 / nn.n, $roundTo) AS pr FROM nodes CROSS JOIN nn),
        |$rounds
        |SELECT node, pr FROM p$iters ORDER BY pr DESC, node LIMIT $topK""".stripMargin
   }

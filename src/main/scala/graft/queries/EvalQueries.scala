@@ -698,16 +698,20 @@ object EvalQueries {
     // scaled term cents·2^(t−2) must fit decimal(38,0)/HUGEINT (~1e38 ⇒
     // 2^(t−2)·1e10 caps t at ~94); days past 90 emit NULL smoothed_cents
     // on BOTH engines rather than silently-wrong values.
-    // MAGNITUDE CONTRACT (the horizon's other axis): the t ≤ 90 bound
-    // assumes daily cents ≤ ~3.2e11 (≈ $3.2B/day — ~30× the sf10 maximum);
-    // at the horizon the term is cents·2^88 ≈ cents·3.1e26, so cents past
-    // ~3.2e11 overflow decimal(38,0) — Spark's non-ANSI multiply NULLs the
-    // term (the window sum would silently skip it) while DuckDB HUGEINT
-    // stays exact to ~5.5e11 then ERRORS: a silent-divergence mode. A
-    // corpus near that magnitude must shorten the horizon (t ≤ 90 −
-    // log2(cents/3.2e11)) or rescale cents; tools/test_ses1_horizon.py
-    // replays the 130-day fixture through the DuckDB oracle to pin the
-    // in-bound behavior. Two hazards at
+    // MAGNITUDE CONTRACT (the horizon's other axis), GUARDED SYMMETRICALLY
+    // IN-PLAN: the t ≤ 90 bound assumes |daily cents| ≤ 3.2e11 (≈ $3.2B/day
+    // — ~30× the sf10 maximum); at the horizon the term is cents·2^88 ≈
+    // cents·3.1e26, so cents past that would overflow decimal(38,0) —
+    // Spark's non-ANSI multiply would NULL the term (silently skipped by
+    // the window sum) while DuckDB HUGEINT stays exact to ~5.5e11 then
+    // ERRORS: a silent-divergence mode. Both engines therefore apply the
+    // SAME guard: a day with |cents| > 3.2e11 contributes 0 to the prefix
+    // sum, and every output row from the first such day onward (running
+    // max over the window) emits NULL smoothed_cents — earlier rows stay
+    // exact, out-of-contract rows are NULL on both engines, silent
+    // divergence is unreachable (ExpSmoothingSpec pins a fixture AT the
+    // bound; tools/test_ses1_horizon.py replays the 130-day fixture
+    // through the DuckDB oracle to pin the in-bound behavior). Two hazards at
     // t > 64 are avoided explicitly: Java's long `<<` masks the shift
     // count mod 64 (so Spark's shiftleft(1L, t−2) would WRAP where
     // DuckDB's HUGEINT << stays exact — wrong answers with no error),
@@ -724,14 +728,16 @@ object EvalQueries {
         |r AS (SELECT day, cents,
         |             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t FROM dc),
         |y AS (SELECT day, cents, t,
-        |             CASE WHEN t = 1 THEN CAST(cents AS HUGEINT)
+        |             CASE WHEN abs(cents) > 320000000000 THEN CAST(0 AS HUGEINT)
+        |                  WHEN t = 1 THEN CAST(cents AS HUGEINT)
         |                  WHEN t <= 90 THEN CAST(cents AS HUGEINT) * (CAST(1 AS HUGEINT) << (t - 2))
         |                  ELSE CAST(0 AS HUGEINT)
         |             END AS yt
         |      FROM r),
-        |u AS (SELECT day, cents, t, sum(yt) OVER (ORDER BY t) AS ut FROM y)
+        |u AS (SELECT day, cents, t, sum(yt) OVER (ORDER BY t) AS ut,
+        |             max(abs(cents)) OVER (ORDER BY t) AS cmax FROM y)
         |SELECT day, cents,
-        |       CASE WHEN t <= 90
+        |       CASE WHEN t <= 90 AND cmax <= 320000000000
         |            THEN CAST(ut // (CAST(1 AS HUGEINT) << (t - 1)) AS BIGINT)
         |       END AS smoothed_cents
         |FROM u ORDER BY day""".stripMargin) { (s, d) =>
@@ -740,6 +746,7 @@ object EvalQueries {
         .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
       val wd = Window.orderBy("day")
       val r = dc.withColumn("t", row_number().over(wd).cast("long"))
+      val centsBound = 320000000000L // the documented $3.2B/day contract
       // 2^k as decimal(38,0) WITHOUT Java's shift-count-mod-64 wrap:
       // split the exponent across two long shifts (exact to k = 124;
       // the t <= 90 horizon needs k <= 89)
@@ -747,18 +754,21 @@ object EvalQueries {
         s"(cast(shiftleft(1L, cast(least($k, 62L) as int)) as decimal(38,0))" +
           s" * cast(shiftleft(1L, cast(greatest(($k) - 62L, 0L) as int)) as decimal(38,0)))"
       val y = r.withColumn("yt",
-        when(col("t") === 1, col("cents").cast("decimal(38,0)"))
+        when(abs(col("cents")) > centsBound, lit(0).cast("decimal(38,0)"))
+          .when(col("t") === 1, col("cents").cast("decimal(38,0)"))
           .when(col("t") <= 90,
             col("cents").cast("decimal(38,0)") * expr(pow2("t - 2")))
           .otherwise(lit(0).cast("decimal(38,0)")))
-      val u = y.withColumn("ut",
-        sum(col("yt")).over(Window.orderBy("t")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wRun = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val u = y
+        .withColumn("ut", sum(col("yt")).over(wRun))
+        .withColumn("cmax", max(abs(col("cents"))).over(wRun))
       u.select(col("day"), col("cents"),
           // integral `div` on decimals — NOT `/`+floor, whose decimal
           // quotient rounds to 6dp first and can carry past the floor
           // boundary (k/2^30 fractions get within 1e-9 of 1)
-          when(col("t") <= 90,
+          when(col("t") <= 90 && col("cmax") <= centsBound,
             expr(s"cast(ut div ${pow2("t - 1")} as bigint)"))
             .as("smoothed_cents"))
         .orderBy("day")

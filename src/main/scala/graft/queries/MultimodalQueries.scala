@@ -74,66 +74,75 @@ object MultimodalQueries {
     // bytes. The perceptual transform itself is stubbed deterministically
     // (no codecs here — MediaPipeline's contract): the payload splits into
     // 32 width-adaptive stripes (stride = ceil(len/32), mm2's framing
-    // math) and bit j is the parity of stripe j's digest — a LOCAL
+    // math) and stripe j contributes TWO bits — the parities of the first
+    // two hex digits of its digest (one 8-bit conv per stripe) — a LOCAL
     // function of content, so payloads differing in one stripe differ in
-    // ~1 bit (the locality real pHash gets from DCT blocks). The 32-bit
+    // ≤ 2 bits (the locality real pHash gets from DCT blocks). The 64-bit
     // signature computes PER ROW (no shuffle at all — 32 codegen'd md5
-    // calls), then dd4's exact banded machinery: 4×8-bit bands, candidates
-    // only from shared bands, Hamming ≤ 3 — EXACT by pigeonhole (3 flips
-    // cannot touch all 4 bands; the spec proves band-join ≡ the literal
-    // quadratic filter). 100 TB: signature pass is embarrassingly
-    // parallel; the band join shuffles 12-byte signature rows, never
-    // payloads (dd10's digests-not-text contract); band-value skew is
-    // dd4's documented 8-bit-domain class — production sims widen to
-    // 64-bit/16-bit bands, same plan.
+    // calls), then dd4's exact machinery ([[graft.dedup.Banding]]):
+    // 4×16-bit bands, candidates only from shared bands, each pair emitted
+    // once at its first shared band, Hamming ≤ 3 — EXACT by pigeonhole
+    // (3 flips cannot touch all 4 bands; the spec proves band-join ≡ the
+    // literal quadratic filter). 100 TB: signature pass is embarrassingly
+    // parallel; the band join shuffles 28-byte signature rows, never
+    // payloads (dd10's digests-not-text contract); 262,144 band keys and a
+    // birthday-safe 64-bit signature space (the 4×8-bit/32-bit draft
+    // saturated both at 10⁹ documents).
     Q("mm4_phash_neardup", {
-      val bitSql = (j: Int) =>
-        s"((strpos('0123456789abcdef', substr(md5(substr(b64, $j * stride + 1, stride)), 1, 1)) - 1) % 2)"
-      val sigSql = (0 until 32).map(j => s"${bitSql(j)} * ${1L << j}").mkString(" + ")
+      val digit = (j: Int, p: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(substr(b64, $j * stride + 1, stride)), $p, 1)) - 1)"
+      val bitSql = (i: Int) => // bit 2j from stripe j's digit 1, bit 2j+1 from digit 2
+        s"(${digit(i / 2, i % 2 + 1)} % 2)"
+      val sigSql = (0 until 64).map { i =>
+        val p = if (i == 63) "-9223372036854775808" else (1L << i).toString
+        s"(CASE WHEN ${bitSql(i)} = 1 THEN CAST($p AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" | ")
+      val x = "xor(p.sig, q.sig)"
       s"""WITH m AS (SELECT doc_id, base64(encode(text)) AS b64 FROM documents),
          |w AS (SELECT doc_id, b64,
          |        greatest(1, (length(b64) + 31) // 32) AS stride FROM m),
-         |sig AS (SELECT doc_id, CAST($sigSql AS BIGINT) AS sig FROM w),
+         |sig AS (SELECT doc_id, ($sigSql) AS sig FROM w),
          |blk AS (SELECT doc_id, sig, r.range AS bi,
-         |          (sig >> (8 * r.range)) & 255 AS bv
+         |          (sig >> (16 * r.range)) & 65535 AS bv
          |        FROM sig, range(4) r),
-         |cand AS (SELECT DISTINCT p.doc_id AS a, q.doc_id AS b,
-         |           bit_count(xor(p.sig, q.sig)) AS hamming
+         |cand AS (SELECT p.doc_id AS a, q.doc_id AS b,
+         |           bit_count($x) AS hamming
          |         FROM blk p JOIN blk q ON p.bi = q.bi AND p.bv = q.bv
-         |                             AND p.doc_id < q.doc_id)
+         |                             AND p.doc_id < q.doc_id
+         |         WHERE p.bi = (CASE WHEN ($x & 65535) = 0 THEN 0
+         |                            WHEN (($x >> 16) & 65535) = 0 THEN 1
+         |                            WHEN (($x >> 32) & 65535) = 0 THEN 2
+         |                            ELSE 3 END))
          |SELECT a, b, hamming FROM cand WHERE hamming <= 3 ORDER BY a, b""".stripMargin
     }) { (s, d) =>
-      val sig = phashSignatures(Tables.documents(s, d))
-      val blocks = sig.select(col("doc_id"), col("sig"), explode(array(
-          (0 until 4).map(b => struct(lit(b).as("bi"),
-            shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("blk"))
-        .select(col("doc_id"), col("sig"), col("blk.bi").as("bi"), col("blk.bv").as("bv"))
-      blocks.as("p").join(blocks.as("q"),
-          col("p.bi") === col("q.bi") && col("p.bv") === col("q.bv") &&
-            col("p.doc_id") < col("q.doc_id"))
-        .select(col("p.doc_id").as("a"), col("q.doc_id").as("b"),
-          bit_count(col("p.sig").bitwiseXOR(col("q.sig"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
+      graft.dedup.Banding.hammingPairs64(phashSignatures(Tables.documents(s, d)))
         .orderBy("a", "b")
     }
   )
 
-  /** mm4's 32-bit stub perceptual signature: payload → 32 width-adaptive
-    * stripes (stride = ceil(len/32)) → bit j = parity of stripe j's md5 —
-    * a LOCAL function of content computed PER ROW (32 codegen'd md5
-    * calls, no shuffle). Exposed so the spec can prove the banded join ≡
-    * the literal quadratic Hamming filter over these signatures.
+  /** mm4's 64-bit stub perceptual signature: payload → 32 width-adaptive
+    * stripes (stride = ceil(len/32), mm2's framing math) → bits (2j, 2j+1)
+    * are the parities of the first two hex digits of stripe j's md5 — a
+    * LOCAL function of content computed PER ROW (32 codegen'd md5 calls +
+    * one 8-bit conv each, no shuffle). Exposed so the spec can prove the
+    * banded join ≡ the literal quadratic Hamming filter over these
+    * signatures.
     */
   def phashSignatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val bit = (j: Int) =>
-      s"(cast(conv(substring(md5(substring(b64, $j * stride + 1, stride)), 1, 1), 16, 10) as bigint) % 2)"
-    val sigExpr = (0 until 32).map(j => s"${bit(j)} * ${1L << j}L")
-      .mkString(" + ")
+    // v(j) = stripe j's first md5 byte (two hex digits, one conv)
+    val v = (j: Int) =>
+      s"cast(conv(substring(md5(substring(b64, $j * stride + 1, stride)), 1, 2), 16, 10) as bigint)"
+    val bit = (i: Int) => // bit 2j = digit-1 parity (v div 16), bit 2j+1 = digit-2 parity
+      if (i % 2 == 0) s"((${v(i / 2)} div 16) % 2)" else s"(${v(i / 2)} % 2)"
+    val lo = (0 until 32).map(i => s"${bit(i)} * ${1L << i}L").mkString(" + ")
+    val hi = (32 until 64).map(i => s"${bit(i)} * ${1L << (i - 32)}L").mkString(" + ")
     docs
       .select(col("doc_id"), base64(encode(col("text"), "UTF-8")).as("b64"))
       .withColumn("stride", greatest(lit(1), expr("(length(b64) + 31) div 32")))
-      .select(col("doc_id"), expr(s"cast($sigExpr as bigint)").as("sig"))
+      // shift-OR the halves together: bitwise assembly, so bit 63 never
+      // rides an arithmetic overflow
+      .select(col("doc_id"),
+        expr(s"shiftleft(cast($hi as bigint), 32) | cast($lo as bigint)").as("sig"))
   }
 
   /** Stage doc_id < 100 as one binary file per doc (UTF-8 payload),

@@ -125,29 +125,65 @@ object TextQueries {
 
   private val NearDupThreshold = 0.8
 
-  // ── SimHash construction (32-bit, over shingles) ─────────────────────────
+  // ── SimHash construction (64-bit, over shingles) ─────────────────────────
   // Bit j of hash(sh): hex digit d = j/4+1 of md5(sh), bit k = 3-(j%4) of
-  // that digit — equivalently bit (31-j) of the 32-bit word formed by the
-  // first 8 hex digits. Spark computes that word ONCE per shingle
-  // (`conv(substr(md5,1,8))`) and extracts bits with shifts; the oracle SQL
-  // spells out the per-digit arithmetic — identical values.
-  // Signature bit j = sign of Σ_sh (2*bit_j - 1).
-  private def simhashSigCol(bits: Column): Seq[Column] = // 32 per-bit ±1 contribs
-    (0 until 32).map { j =>
-      (shiftright(bits, 31 - j).bitwiseAND(lit(1L)) * 2 - 1).as(s"c$j")
+  // that digit — equivalently bit (63-j) of the 64-bit word formed by the
+  // first 16 hex digits. Spark extracts bits from two 32-bit halves of that
+  // word (`conv(substr(md5,1,8))` / `conv(substr(md5,9,8))` — conv of a
+  // full 16-digit chunk would overflow signed long); the oracle SQL spells
+  // out the per-digit arithmetic — identical values.
+  // Signature bit j = sign of Σ_sh (2*bit_j - 1). 64 bits (vs the 32-bit
+  // draft) keeps the signature space birthday-safe at 10⁹+ documents and
+  // gives the 4×16-bit band domain its 262,144 join keys.
+  private def simhashContribs: Seq[Column] = // 64 per-bit ±1 contribs
+    (0 until 64).map { j =>
+      val bit = // word bit (63-j): j<32 lives in the hi half, j>=32 in lo
+        if (j < 32) shiftright(col("hi32"), 31 - j).bitwiseAND(lit(1L))
+        else shiftright(col("lo32"), 63 - j).bitwiseAND(lit(1L))
+      (bit * 2 - 1).as(s"c$j")
     }
+
+  /** 64-bit SimHash signature per document over any (doc_id, m=md5(sh))
+    * shingle frame — public so BandingSpec can prove the banded join ≡ the
+    * literal quadratic Hamming filter over these exact signatures.
+    */
+  def simhashTable(sh: DataFrame): DataFrame = {
+    val withBits = sh
+      .withColumn("hi32", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
+      .withColumn("lo32", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
+    val sums = withBits.select(col("doc_id") +: simhashContribs: _*)
+      .groupBy("doc_id")
+      .agg(sum(col("c0")).as("s0"),
+        (1 until 64).map(j => sum(col(s"c$j")).as(s"s$j")): _*)
+    // assemble sign bits into the two halves, then shift-OR them together:
+    // pure bitwise ops, so bit 63 never rides an arithmetic overflow
+    val loWord = (0 until 32).map(j =>
+      when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val hiWord = (32 until 64).map(j =>
+      when(col(s"s$j") >= 0, lit(1L << (j - 32))).otherwise(lit(0L))).reduce(_ + _)
+    sums.select(col("doc_id"),
+      shiftleft(hiWord.cast("long"), 32).bitwiseOR(loWord.cast("long")).as("sig"))
+  }
+
+  /** dd4's signature table over the memoized corpus shingles. */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    simhashTable(shinglesDf(s, d))
 
   private def simhashSqlSig: String = {
     val digit = (d: Int) => s"(strpos('0123456789abcdef', substr(md5(sh), $d, 1)) - 1)"
-    val bits = (0 until 32).map { j =>
+    val bits = (0 until 64).map { j =>
       val v = digit(j / 4 + 1)
       val k = 3 - (j % 4)
       s"sum(($v // ${1 << k}) % 2 * 2 - 1) AS s$j"
     }
-    val sig = (0 until 32).map(j => s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)")
-      .mkString(" + ")
+    // bit 63 is Long.MinValue; OR-ing parenthesized CASE terms (DuckDB `|`
+    // on BIGINT is two's-complement, verified) avoids any overflow path
+    val sig = (0 until 64).map { j =>
+      val p = if (j == 63) "-9223372036854775808" else (1L << j).toString
+      s"(CASE WHEN s$j >= 0 THEN CAST($p AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" | ")
     s"""sums AS (SELECT doc_id, ${bits.mkString(", ")} FROM sh GROUP BY doc_id),
-       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM sums)""".stripMargin
+       |sig AS (SELECT doc_id, ($sig) AS sig FROM sums)""".stripMargin
   }
 
   def all: Seq[Q] = Seq(
@@ -557,10 +593,14 @@ object TextQueries {
         .orderBy("a", "b")
     },
 
-    // ── DD4: SimHash near-dup pairs (32-bit signature, hamming ≤ 3).
-    // Spark finds candidates by byte-blocking (pigeonhole: hd≤3 over 4 bytes
-    // ⇒ ≥1 byte equal) then verifies exact hamming; the oracle brute-forces
-    // all pairs — identical result, different (scalable) plan.
+    // ── DD4: SimHash near-dup pairs (64-bit signature, hamming ≤ 3).
+    // Spark finds candidates via [[graft.dedup.Banding]] — 4×16-bit bands
+    // (pigeonhole: hd≤3 over 4 bands ⇒ ≥1 band equal, so the banded join is
+    // EXACT), each pair emitted once at its first shared band (no distinct
+    // shuffle); the oracle brute-forces all pairs over the same signatures
+    // — identical result, different (scalable) plan. 100 TB: 262,144 band
+    // keys (the 4×8-bit draft had 1,024 — a structural quadratic at 10⁹
+    // docs) and a birthday-safe 64-bit signature space.
     Q("dd4_simhash",
       s"""$shingleCtes,
          |$simhashSqlSig
@@ -569,32 +609,7 @@ object TextQueries {
          |FROM sig p JOIN sig q ON p.doc_id < q.doc_id
          |WHERE bit_count(xor(p.sig, q.sig)) <= 3
          |ORDER BY a, b""".stripMargin) { (s, d) =>
-      val sh = shinglesDf(s, d)
-        .withColumn("bits", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
-      val contribs = simhashSigCol(col("bits"))
-      val sums = sh.select(col("doc_id") +: contribs: _*)
-        .groupBy("doc_id")
-        .agg(sum(col("c0")).as("s0"),
-          (1 until 32).map(j => sum(col(s"c$j")).as(s"s$j")): _*)
-      val sigExpr = (0 until 32).map(j =>
-        when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val sig = sums.select(col("doc_id"), sigExpr.cast("long").as("sig"))
-      val blocks = sig.select(col("doc_id"), col("sig"), explode(array(
-        (0 until 4).map(b => struct(lit(b).as("bi"),
-          shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("blk"))
-        .select(col("doc_id"), col("sig"), col("blk.bi").as("bi"), col("blk.bv").as("bv"))
-        // self-joined below — cache so the signature chain runs once
-        // (registry-tracked; see dd3)
-        .cache()
-      graft.CacheRegistry.track(blocks)
-      blocks.as("p").join(blocks.as("q"),
-          col("p.bi") === col("q.bi") && col("p.bv") === col("q.bv") &&
-            col("p.doc_id") < col("q.doc_id"))
-        .select(col("p.doc_id").as("a"), col("q.doc_id").as("b"),
-          bit_count(col("p.sig").bitwiseXOR(col("q.sig"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
+      graft.dedup.Banding.hammingPairs64(simhashSignatures(s, d))
         .orderBy("a", "b")
     },
 

@@ -465,8 +465,9 @@ object Wave7Queries {
       // DESERIALIZED rows and OOMed local[32] on the 113M-edge sf10 graph),
       // and derive m from deg (Σdeg = 2m) so e is scanned twice, not
       // three times (kc1's recompute lesson)
-      val e = AnalyticsQueries.coPurchaseEdges(base, maxOrderFanout = Some(16))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e = graft.CacheRegistry.track(
+        AnalyticsQueries.coPurchaseEdges(base, maxOrderFanout = Some(16))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val deg = e.select(col("a").as("n")).unionAll(e.select(col("b")))
         .groupBy("n").agg(count(lit(1)).cast("long").as("dg"))
       val m = deg.agg(expr("cast(sum(dg) div 2 as bigint)").as("m"))
@@ -541,9 +542,12 @@ object Wave7Queries {
       val base = Tables.lineitem(s, d).filter(col("l_quantity") >= 48)
         .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
       // deg, both adj orientations and the anti join all scan e — persist
-      // the capped build once (gm1's serialized-persist lesson)
-      val e = AnalyticsQueries.coPurchaseEdges(base, maxOrderFanout = Some(25))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the capped build once (gm1's serialized-persist lesson);
+      // registry-tracked so a long-lived driver's clear() releases the
+      // disk blocks (they are not LRU-evicted)
+      val e = graft.CacheRegistry.track(
+        AnalyticsQueries.coPurchaseEdges(base, maxOrderFanout = Some(25))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val deg = e.select(col("a").as("n")).unionAll(e.select(col("b")))
         .groupBy("n").agg(count(lit(1)).cast("long").as("d"))
       val adj = e.select(col("a").as("mid"), col("b").as("nb"))

@@ -161,20 +161,26 @@ object Wave9Queries {
       val top = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("event_type")).limit(3)
         .collect().map(_.getString(0)).toSeq
-      val buckets = top :+ "other"
+      // an event_type literally named 'other' must not yield a duplicate
+      // pivot column (its rows and the folded tail are the same bucket)
+      val buckets = (top :+ "other").distinct
       val mapped = ev.select(
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
         when(col("event_type").isin(top: _*), col("event_type"))
           .otherwise("other").as("bucket"))
       val wide = mapped.groupBy("day").pivot("bucket", buckets).count()
-      // unpivot back to long form (p9's stack device) so the compare is
+      // unpivot back to long form (p9's device) so the compare is
       // SF-general; pivot NULLs (day × absent bucket) drop like the
-      // oracle's missing GROUP BY combinations
-      val stackExpr = buckets.map(b => s"'$b', `$b`").mkString(", ")
-      wide.select(col("day"),
-          expr(s"stack(${buckets.size}, $stackExpr) as (bucket, n)"))
-        .filter(col("n").isNotNull)
-        .select(col("day"), col("bucket"), col("n").cast("long").as("n"))
+      // oracle's missing GROUP BY combinations. The pivot columns are
+      // rebound POSITIONALLY (toDF) before unpivoting — event types are
+      // data, and a name holding a quote/backtick must never reach a
+      // parsed SQL fragment
+      val safe = wide.toDF("day" +: buckets.indices.map(i => s"b$i"): _*)
+      safe.select(col("day"), explode(array(buckets.indices.map(i =>
+          struct(lit(buckets(i)).as("bucket"), col(s"b$i").as("n"))): _*)).as("x"))
+        .filter(col("x.n").isNotNull)
+        .select(col("day"), col("x.bucket").as("bucket"),
+          col("x.n").cast("long").as("n"))
         .orderBy("day", "bucket")
     },
 
@@ -223,7 +229,6 @@ object Wave9Queries {
       val samp = Sampling.uniform(li.select(col("l_orderkey").as("k")),
         col("k"), 0.02).distinct()
       val ranked = GlobalIds.withGlobalId(samp, "r", col("k"))
-        .withColumn("r", col("r"))
       val n = samp.agg(count(lit(1)).cast("long").as("n"))
       val js = s.range(1, 16).select(col("id").as("j"))
       val b = ranked.crossJoin(broadcast(n))

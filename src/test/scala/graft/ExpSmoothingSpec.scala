@@ -73,6 +73,46 @@ class ExpSmoothingSpec extends SparkSpec {
     }
   }
 
+  test("a series crossing the $3.2B/day magnitude contract NULLs from the " +
+      "breach onward; a day exactly AT the bound stays exact") {
+    // the symmetric guard (this repo's close of ADVICE r11 item 2): days
+    // with |cents| > 3.2e11 contribute 0 and poison every later row to
+    // NULL on BOTH engines — the silent-divergence mode (Spark decimal
+    // overflow -> NULL term silently skipped by the window sum vs DuckDB
+    // HUGEINT exact-then-error) is unreachable. tools/test_ses1_horizon.py
+    // replays this same fixture through the DuckDB oracle.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = CacheRegistry.trackPath(
+      java.nio.file.Files.createTempDirectory("ses1b").toString)
+    val bound = 320000000000L
+    val centsByDay = Seq(100L, bound, 500L, bound + 100L, 700L)
+    val base = java.time.LocalDate.parse("2024-01-01")
+    centsByDay.zipWithIndex.map { case (c, i) =>
+      (i.toLong, base.plusDays(i).toString + " 12:00:00", 1L, "purchase",
+        c / 100.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("ses1_exp_smoothing")(spark, dir)
+      .collect().sortBy(_.getString(0))
+    assert(out.length == 5)
+    var u = BigInt(0)
+    out.zipWithIndex.foreach { case (r, i) =>
+      val t = i + 1
+      val cents = centsByDay(i)
+      assert(r.getLong(1) == cents, s"t=$t cents round-trip broke")
+      u += (if (t == 1) BigInt(cents) else BigInt(cents) << (t - 2))
+      if (t <= 3) { // at-bound day 2 is INSIDE the contract — exact
+        assert(!r.isNullAt(2) && r.getLong(2) == (u >> (t - 1)).toLong,
+          s"t=$t: got $r, recursion says ${(u >> (t - 1)).toLong}")
+      } else { // day 4 breaches; it and every later day must be NULL
+        assert(r.isNullAt(2), s"t=$t past the magnitude breach must be NULL")
+      }
+    }
+  }
+
   test("ses1 on testdata is deterministic across runs") {
     val sf = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("ses1_exp_smoothing")(spark, sf)

@@ -5,8 +5,9 @@ import graft.queries.MultimodalQueries
 
 /** did1's 2×2 causal contrast and mm4's perceptual near-dup: hand-computed
   * cell fixtures, the empty-cell NULL guard, pHash locality, and the
-  * banded-join ≡ quadratic-filter exactness (pigeonhole over 4×8-bit
-  * bands).
+  * banded-join ≡ quadratic-filter exactness (pigeonhole over 4×16-bit
+  * bands — the shared [[graft.dedup.Banding]] device, also covered by
+  * BandingSpec).
   */
 class Wave5StatsSpec extends SparkSpec {
 
@@ -63,26 +64,27 @@ class Wave5StatsSpec extends SparkSpec {
 
   // ── mm4 ──────────────────────────────────────────────────────────────────
 
-  test("mm4: identical payloads pair at Hamming 0; a one-byte edit stays <= 1") {
+  test("mm4: identical payloads pair at Hamming 0; a one-byte edit stays <= 2") {
     val dir = tmpDir("mm4a")
     val base = ("the quick brown fox jumps over the lazy dog. " * 80).trim // ~3.6 KB
-    // byte 60 sits inside stripe 0 (stride ~ 150 for this length): the
-    // edit perturbs exactly one base64 quad -> one stripe -> <= 1 sig bit
+    // byte 60 sits inside one stripe (stride ~ 150 for this length): the
+    // edit perturbs exactly one base64 quad -> one stripe -> <= 2 sig bits
+    // (each stripe contributes two digest-parity bits)
     val edited = base.substring(0, 60) + "X" + base.substring(61)
     val other = ("entirely different content with no shared structure! " * 80).trim
     writeDocs(dir, Seq((1L, base), (2L, base), (3L, edited), (4L, other)))
     val rows = SparkEntry.queries("mm4_phash_neardup")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(rows((1L, 2L)) == 0, s"identical payloads not at Hamming 0: $rows")
-    assert(rows.contains(1L -> 3L) && rows(1L -> 3L) <= 1,
-      s"one-byte edit drifted past 1 bit: $rows")
+    assert(rows.contains(1L -> 3L) && rows(1L -> 3L) <= 2,
+      s"one-byte edit drifted past 2 bits: $rows")
     assert(!rows.keySet.exists { case (a, b) => b == 4L || a == 4L },
       s"unrelated payload paired: $rows")
   }
 
   test("mm4: the banded join equals the literal quadratic Hamming filter") {
     // pigeonhole: 3 bit flips cannot touch all 4 bands, so candidates from
-    // shared 8-bit bands lose NO qualifying pair — proven here by running
+    // shared 16-bit bands lose NO qualifying pair — proven here by running
     // the quadratic filter over the same signatures on testdata
     val sf = "/root/testdata/sf0.001"
     val sig = MultimodalQueries.phashSignatures(Tables.documents(spark, sf))

@@ -16,3 +16,14 @@ python3 tools/check_oracle.py "$SF" target/verify_out
 echo "== Bench smoke @sf0.001 =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 sbt "runMain graft.Bench" 2>/dev/null \
   | grep '"metric"'
+
+echo "== Per-query regression vs last recorded canonical =="
+# BENCH_LAST.json is rewritten by each full sf0.1 bench run; compare the
+# working copy against the last committed canonical and flag >2x moves
+if git show HEAD:BENCH_LAST.json > /tmp/bench_prev.json 2>/dev/null \
+   && [ -f BENCH_LAST.json ]; then
+  python3 tools/bench_regression.py BENCH_LAST.json /tmp/bench_prev.json \
+    || echo "regression gate FLAGGED (see above)"
+else
+  echo "skipped (no committed BENCH_LAST.json to compare against)"
+fi

@@ -66,6 +66,44 @@ for i, (day, cents, smoothed) in enumerate(sorted(got)):
 if bad:
     print(f"{bad} mismatching rows")
     sys.exit(1)
+
+# ── magnitude-contract fixture (ExpSmoothingSpec's bound-crossing twin):
+# |cents| > 3.2e11 contributes 0 and NULLs every row from the breach on;
+# a day exactly AT the bound stays exact. Proves the DuckDB side of the
+# symmetric guard — the HUGEINT exact-then-error divergence is unreachable.
+BOUND = 320_000_000_000
+cents_by_day = [100, BOUND, 500, BOUND + 100, 700]
+rows2 = pd.DataFrame({
+    "event_id": range(5),
+    "ts": pd.to_datetime("2024-01-01 12:00:00") + pd.to_timedelta(range(5), unit="D"),
+    "user_id": 1,
+    "event_type": "purchase",
+    "value": [c / 100.0 for c in cents_by_day],
+    "props": "{}",
+})
+path2 = os.path.join(tmp, "events2.parquet")
+rows2.to_parquet(path2)
+con2 = duckdb.connect()
+con2.sql(f"CREATE VIEW events AS SELECT * FROM '{path2}'")
+got2 = sorted(con2.sql(sql).fetchall())
+assert len(got2) == 5, f"expected 5 rows, got {len(got2)}"
+u = 0
+for i, (day, cents, smoothed) in enumerate(got2):
+    t = i + 1
+    assert cents == cents_by_day[i], f"{day}: cents {cents} != {cents_by_day[i]}"
+    u += cents if t == 1 else cents << (t - 2)
+    if t <= 3:  # at-bound day 2 is inside the contract
+        expect = u >> (t - 1)
+        if smoothed != expect:
+            print(f"FAIL {day} (t={t}): duckdb {smoothed}, recursion {expect}")
+            bad += 1
+    elif smoothed is not None:
+        print(f"FAIL {day} (t={t}): post-breach row not NULL ({smoothed})")
+        bad += 1
+if bad:
+    print(f"{bad} mismatching rows in the magnitude fixture")
+    sys.exit(1)
 print("ok: duckdb ses1 exact through t=90 (incl. the t>62 two-factor pow2 "
       "branch), NULL for t=91..130 — matches the python-int recursion and "
-      "the Scala-side ExpSmoothingSpec fixture")
+      "the Scala-side ExpSmoothingSpec fixture; magnitude guard NULLs "
+      "symmetrically from the first >3.2e11-cents day onward")
