@@ -249,7 +249,12 @@ object AnalyticsQueries {
       val base = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
         .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
       // fan-out cap 25 pinned in the oracle (qualifying suppliers/order is
-      // ~7 on this corpus — AnalyticsSpec asserts the cap changes nothing)
+      // ~7 on this corpus — AnalyticsSpec asserts the cap changes nothing).
+      // NOT persisted: e and dir each feed several consumers, but their
+      // exchanges are deduped by Catalyst's ReusedExchange (plan-asserted
+      // in Wave12Spec) — a round-13 A/B at sf10 measured an explicit
+      // MEMORY_AND_DISK persist of e/dir 20% SLOWER than the reused
+      // exchanges (cache materialization + spill vs free shuffle reuse)
       val e = coPurchaseEdges(base, maxOrderFanout = Some(25))
       val deg = e.select(col("a").as("n")).unionAll(e.select(col("b")))
         .groupBy("n").agg(count(lit(1)).as("d"))

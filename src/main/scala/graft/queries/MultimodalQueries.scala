@@ -88,37 +88,64 @@ object MultimodalQueries {
     // payloads (dd10's digests-not-text contract); 262,144 band keys and a
     // birthday-safe 64-bit signature space (the 4×8-bit/32-bit draft
     // saturated both at 10⁹ documents).
-    Q("mm4_phash_neardup", {
-      val digit = (j: Int, p: Int) =>
-        s"(strpos('0123456789abcdef', substr(md5(substr(b64, $j * stride + 1, stride)), $p, 1)) - 1)"
-      val bitSql = (i: Int) => // bit 2j from stripe j's digit 1, bit 2j+1 from digit 2
-        s"(${digit(i / 2, i % 2 + 1)} % 2)"
-      val sigSql = (0 until 64).map { i =>
-        val p = if (i == 63) "-9223372036854775808" else (1L << i).toString
-        s"(CASE WHEN ${bitSql(i)} = 1 THEN CAST($p AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-      }.mkString(" | ")
-      val x = "xor(p.sig, q.sig)"
-      s"""WITH m AS (SELECT doc_id, base64(encode(text)) AS b64 FROM documents),
-         |w AS (SELECT doc_id, b64,
-         |        greatest(1, (length(b64) + 31) // 32) AS stride FROM m),
-         |sig AS (SELECT doc_id, ($sigSql) AS sig FROM w),
-         |blk AS (SELECT doc_id, sig, r.range AS bi,
-         |          (sig >> (16 * r.range)) & 65535 AS bv
-         |        FROM sig, range(4) r),
-         |cand AS (SELECT p.doc_id AS a, q.doc_id AS b,
-         |           bit_count($x) AS hamming
-         |         FROM blk p JOIN blk q ON p.bi = q.bi AND p.bv = q.bv
-         |                             AND p.doc_id < q.doc_id
-         |         WHERE p.bi = (CASE WHEN ($x & 65535) = 0 THEN 0
-         |                            WHEN (($x >> 16) & 65535) = 0 THEN 1
-         |                            WHEN (($x >> 32) & 65535) = 0 THEN 2
-         |                            ELSE 3 END))
-         |SELECT a, b, hamming FROM cand WHERE hamming <= 3 ORDER BY a, b""".stripMargin
-    }) { (s, d) =>
+    Q("mm4_phash_neardup",
+      s"""$phashCandSqlCtes
+         |SELECT a, b, hamming FROM cand WHERE hamming <= 3 ORDER BY a, b""".stripMargin) { (s, d) =>
       graft.dedup.Banding.hammingPairs64(phashSignatures(Tables.documents(s, d)))
         .orderBy("a", "b")
+    },
+
+    // ── MM5: media near-dup CLUSTER assignment — mm4 finds the pairwise
+    // perceptual matches; mm5 is the media family's dd6: alternating
+    // large-star/small-star connected components over those pairs, every
+    // member assigned its component's minimum doc_id (the keeper a media
+    // dedup actually keeps). Same Clusters device and oracle form as dd6
+    // (min-label propagation unrolled as materialized CTEs); scale story
+    // inherits both parents — mm4's banded candidate generation and the
+    // star rounds' shuffle-on-key groupBy+join primitives with per-round
+    // localCheckpoint.
+    Q("mm5_phash_clusters",
+      graft.dedup.Clusters.unrolledSql(
+        s"""$phashCandSqlCtes,
+           |pairs AS MATERIALIZED (SELECT a, b FROM cand WHERE hamming <= 3)""".stripMargin,
+        rounds = 40)) { (s, d) =>
+      val pairs = graft.dedup.Banding
+        .hammingPairs64(phashSignatures(Tables.documents(s, d)))
+        .select("a", "b")
+      graft.dedup.Clusters.assignKeepers(pairs).orderBy("doc_id")
     }
   )
+
+  /** mm4/mm5's shared oracle CTEs: the 64-bit stub signature, 4×16-bit
+    * band table, and first-shared-band candidate pairs with exact Hamming
+    * — the DuckDB spelling of [[phashSignatures]] + `Banding`.
+    */
+  private def phashCandSqlCtes: String = {
+    val digit = (j: Int, p: Int) =>
+      s"(strpos('0123456789abcdef', substr(md5(substr(b64, $j * stride + 1, stride)), $p, 1)) - 1)"
+    val bitSql = (i: Int) => // bit 2j from stripe j's digit 1, bit 2j+1 from digit 2
+      s"(${digit(i / 2, i % 2 + 1)} % 2)"
+    val sigSql = (0 until 64).map { i =>
+      val p = if (i == 63) "-9223372036854775808" else (1L << i).toString
+      s"(CASE WHEN ${bitSql(i)} = 1 THEN CAST($p AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" | ")
+    val x = "xor(p.sig, q.sig)"
+    s"""WITH m AS (SELECT doc_id, base64(encode(text)) AS b64 FROM documents),
+       |w AS (SELECT doc_id, b64,
+       |        greatest(1, (length(b64) + 31) // 32) AS stride FROM m),
+       |sig AS (SELECT doc_id, ($sigSql) AS sig FROM w),
+       |blk AS (SELECT doc_id, sig, r.range AS bi,
+       |          (sig >> (16 * r.range)) & 65535 AS bv
+       |        FROM sig, range(4) r),
+       |cand AS (SELECT p.doc_id AS a, q.doc_id AS b,
+       |           bit_count($x) AS hamming
+       |         FROM blk p JOIN blk q ON p.bi = q.bi AND p.bv = q.bv
+       |                             AND p.doc_id < q.doc_id
+       |         WHERE p.bi = (CASE WHEN ($x & 65535) = 0 THEN 0
+       |                            WHEN (($x >> 16) & 65535) = 0 THEN 1
+       |                            WHEN (($x >> 32) & 65535) = 0 THEN 2
+       |                            ELSE 3 END))""".stripMargin
+  }
 
   /** mm4's 64-bit stub perceptual signature: payload → 32 width-adaptive
     * stripes (stride = ceil(len/32), mm2's framing math) → bits (2j, 2j+1)

@@ -145,7 +145,15 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // windows, at2's per-conversion rank tie-breaks + ppm
                    // division, s6's rank-before-collect + sorted concat
                    "emb9_binary_quant", "at2_position_weighted",
-                   "s6_ordered_listagg")) {
+                   "s6_ordered_listagg",
+                   // wave 12: gr4's degree-oriented wedge counts + integer
+                   // ppm, llr1's exact-integer-ln cell terms + per-source
+                   // rank window, cuped1's decimal moment sums + 1-row
+                   // double finish, qn1's two GlobalIds rankings + rank
+                   // equi-join, mm5's banded pairs + star rounds
+                   "gr4_clustering_coeff", "llr1_keywords",
+                   "cuped1_variance_reduction", "qn1_quantile_normalize",
+                   "mm5_phash_clusters")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),
