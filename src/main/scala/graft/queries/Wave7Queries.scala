@@ -460,14 +460,14 @@ object Wave7Queries {
         |FROM s""".stripMargin) { (s, d) =>
       val base = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("s"))
-      // materialize the capped edge build ONCE (PageRank.prepare's device:
-      // serialized columnar persist, spill-safe — a localCheckpoint stores
-      // DESERIALIZED rows and OOMed local[32] on the 113M-edge sf10 graph),
-      // and derive m from deg (Σdeg = 2m) so e is scanned twice, not
-      // three times (kc1's recompute lesson)
-      val e = graft.CacheRegistry.track(
-        AnalyticsQueries.coPurchaseEdges(base, maxOrderFanout = Some(16))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // the capped edge build feeds deg and ec inside ONE action, so its
+      // closing distinct-Exchange is deduped by Catalyst's ReusedExchange
+      // (gr4's round-13 lesson) — NOT persisted: at sf30 the 340M-edge
+      // MEMORY_AND_DISK cache spilled ~10 GB and bent the curve (210-370 s
+      // vs 131 s unpersisted; at sf10 the two forms tie within noise).
+      // m derives from deg (Σdeg = 2m) so e is scanned twice, not three
+      // times (kc1's recompute lesson).
+      val e = AnalyticsQueries.coPurchaseEdges(base, maxOrderFanout = Some(16))
       val deg = e.select(col("a").as("n")).unionAll(e.select(col("b")))
         .groupBy("n").agg(count(lit(1)).cast("long").as("dg"))
       val m = deg.agg(expr("cast(sum(dg) div 2 as bigint)").as("m"))
