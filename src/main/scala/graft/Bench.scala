@@ -59,6 +59,10 @@ object Bench {
     if (only.isEmpty || selected.exists(q => q._1.startsWith("dd") ||
         q._1.startsWith("ct") || q._1.startsWith("nv")))
       graft.queries.TextQueries.prewarmSharedStages(spark, sfDir)
+    // same accounting for the media family's shared signature+band pair
+    // stage (mm4/mm5 both consume it)
+    if (only.isEmpty || selected.exists(_._1.startsWith("mm")))
+      graft.queries.MultimodalQueries.prewarmSharedStages(spark, sfDir)
 
     // (name, seconds, succeeded): a query that throws records -1 in the
     // artifact and its name in "failed" — a crash must not read as a fast run

@@ -148,6 +148,16 @@ object Clusters {
     s"""$pairsCte,
        |$init,
        |${steps.mkString(",\n")}
-       |SELECT id AS doc_id, label AS keeper_id FROM l$rounds ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, keeper_id FROM (
+       |  SELECT id AS doc_id, label AS keeper_id FROM l$rounds
+       |  UNION ALL
+       |  -- convergence sentinel: if the last two rounds still differ the
+       |  -- round bound under-covers some component's diameter — emit a
+       |  -- poison row so the mismatch self-reports as under-iteration
+       |  -- instead of reading as an engine bug (ADVICE r13 item 4)
+       |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |  WHERE EXISTS (SELECT 1 FROM l$rounds f JOIN l${rounds - 1} p
+       |                ON f.id = p.id AND f.label <> p.label)
+       |) ORDER BY doc_id""".stripMargin
   }
 }

@@ -71,6 +71,38 @@ object AnalyticsQueries {
           .select(col("x.s").as("a"), col("y.s").as("b")).distinct()
     }
 
+  /** dd8's window table: distinct (doc_id, 30-char window) at the given
+    * sampling stride. Text rides THROUGH the explode (one generator +
+    * substring in the same codegen stage) — re-joining documents on doc_id
+    * to fetch it back would cost two avoidable Exchanges at 100 TB.
+    * Stride 4 is dd8's production approximation; stride 1 is the exact
+    * form dd8b's referee uses over its bounded sample (every shared
+    * literal run ≥ 33 chars contains a fully-inside stride-4 window of
+    * one side, and the stride-1 side holds every alignment of the other).
+    */
+  def substringWindows(docs: DataFrame, stride: Int): DataFrame =
+    docs.filter(length(col("text")) >= 30)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 29, lit(stride))).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 30)").as("win"))
+      .distinct()
+
+  /** dd8's full pair stage — stride-4 windows, document-frequency cap
+    * (≤ 20) bounding every join group, inverted-index self-join. Factored
+    * so dd8b's referee verifies the EXACT plan dd8 ships, not a re-spelling
+    * that could drift.
+    */
+  def substringPairs(docs: DataFrame): DataFrame = {
+    val w = substringWindows(docs, stride = 4)
+    val capped = w.groupBy("win").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select("win")
+    val wc = w.join(capped, Seq("win"), "left_semi")
+    wc.as("x").join(wc.as("y"),
+        col("x.win") === col("y.win") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
   /** Two unrolled HITS rounds from hub₀ = 1 over a bipartite incidence
     * `(s, p)`: round 1 gives auth₁(p) = degree, hub₁(s) = Σ auth₁ of its
     * parts; round 2 gives auth₂(p) = Σ hub₁ of its suppliers. All scores
@@ -127,8 +159,18 @@ object AnalyticsQueries {
     val spark = edges0.sparkSession
     import spark.implicits._
     // materialize the pair build ONCE: round 1 consumes it from three
-    // plans (degree agg + both semi-join probes)
-    var edges = edges0.localCheckpoint()
+    // plans (degree agg + both semi-join probes). Serialized columnar
+    // persist, NOT localCheckpoint: checkpoint blocks store DESERIALIZED
+    // InternalRows (~60 B per 2-long edge), and with two |E|-row
+    // generations live during a round build the sf10 peel (115M pairs)
+    // needed a 48 GB heap — the compressed columnar cache carries the
+    // same rows in ~1/6 the space and the peel fits the default heap.
+    // (The per-round counts are SEPARATE actions, so this is the
+    // cross-action consumer class where r12 measured persists winning —
+    // gm1/lk1 — not the single-action ReusedExchange class of gr2/gr4.)
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var edges = edges0.persist(level)
+    edges.count(): Unit // materialize before the loop's triple consumption
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     for (r <- 1 to rounds) {
       val deg = edges.select(col("a").as("u")).unionAll(edges.select(col("b")))
@@ -136,14 +178,16 @@ object AnalyticsQueries {
       // alive is node-grain (≤|V| rows of one long) — checkpointing it
       // makes the 2|E|-row degree shuffle run ONCE per round; without it,
       // the two semi-joins and the node count each recomputed it (3× the
-      // round's dominant shuffle, measured 812 s at sf10)
+      // round's dominant shuffle, measured 812 s at sf10). localCheckpoint
+      // here also CUTS the growing per-round lineage at node grain, which
+      // the serialized edge persists (lineage-preserving) do not.
       val alive = deg.filter(col("dg") >= k.toLong).select("u").localCheckpoint()
       val prev = edges
       edges = edges
         .join(alive.select(col("u").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("u").as("b")), Seq("b"), "left_semi")
         .select("a", "b")
-        .localCheckpoint()
+        .persist(level)
       // per-round counts are cheap scans of the materialized blocks; they
       // are BOUNDED driver data (two longs per round — the pivot-key
       // collect class), and taking them eagerly lets the dead round's
@@ -154,6 +198,9 @@ object AnalyticsQueries {
       prev.unpersist()
       alive.unpersist()
     }
+    // the result rows are already materialized driver-side (two longs per
+    // round); release the final generation's cache before returning
+    edges.unpersist()
     rows.toSeq.toDF("round", "n_nodes", "n_edges").orderBy("round")
   }
 
@@ -482,21 +529,7 @@ object AnalyticsQueries {
         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |FROM wc x JOIN wc y ON x.win = y.win AND x.doc_id < y.doc_id
         |ORDER BY a, b""".stripMargin) { (s, d) =>
-      // text rides THROUGH the explode (one generator + substring in the
-      // same codegen stage) — re-joining documents on doc_id to fetch it
-      // back would cost two avoidable Exchanges at 100 TB
-      val w = Tables.documents(s, d).filter(length(col("text")) >= 30)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - 29, lit(4))).as("i"))
-        .select(col("doc_id"), expr("substring(text, i, 30)").as("win"))
-        .distinct()
-      val capped = w.groupBy("win").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 20).select("win")
-      val wc = w.join(capped, Seq("win"), "left_semi")
-      wc.as("x").join(wc.as("y"),
-          col("x.win") === col("y.win") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct().orderBy("a", "b")
+      substringPairs(Tables.documents(s, d)).orderBy("a", "b")
     },
 
     // ── GR3: multi-hop BFS (graft.graph.Bfs) — hop distances ≤3 from

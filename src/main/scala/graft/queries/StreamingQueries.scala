@@ -122,8 +122,27 @@ object StreamingQueries {
       .outputMode("append").trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    reportStreamStats(s, q, tag)
     s.read.parquet(out)
   }
+
+  /** SPARK_GRAFT_STREAM_STATS=1: print per-drain state-store statistics —
+    * batches run, PEAK total state rows across operators, and the state
+    * partition count in effect — the numbers a state-store capacity plan
+    * is made of (scale-bench instrumentation; off in normal runs).
+    */
+  private def reportStreamStats(s: SparkSession,
+      q: org.apache.spark.sql.streaming.StreamingQuery, tag: String): Unit =
+    if (sys.env.get("SPARK_GRAFT_STREAM_STATS").contains("1")) {
+      val progs = q.recentProgress
+      val peak = if (progs.isEmpty) 0L
+        else progs.map(p => p.stateOperators.map(_.numRowsTotal).sum).max
+      val mem = if (progs.isEmpty) 0L
+        else progs.map(p => p.stateOperators.map(_.memoryUsedBytes).sum).max
+      println(s"[stream-stats] tag=$tag batches=${progs.length} " +
+        s"peakStateRows=$peak peakStateBytes=$mem " +
+        s"statePartitions=${s.conf.get("spark.sql.shuffle.partitions")}")
+    }
 
   /** Drain a COMPLETE-mode aggregation to parquet without ever landing rows
     * on the driver. The file sink rejects complete output, so this uses
@@ -149,6 +168,7 @@ object StreamingQueries {
       }
       .start()
     q.awaitTermination()
+    reportStreamStats(s, q, tag)
     s.read.parquet(data)
   }
 

@@ -153,7 +153,11 @@ class PartitionInvarianceSpec extends SparkSpec {
                    // equi-join, mm5's banded pairs + star rounds
                    "gr4_clustering_coeff", "llr1_keywords",
                    "cuped1_variance_reduction", "qn1_quantile_normalize",
-                   "mm5_phash_clusters")) {
+                   "mm5_phash_clusters",
+                   // wave 13: url3's TopKAggregator merge keyed by the
+                   // derived registrable domain, dd8b's md5-bucket sample
+                   // frame + window anti-join counts
+                   "url3_domain_cap", "dd8b_substring_referee")) {
     test(s"$name is identical at 3, 5, and 13 shuffle partitions") {
       val results = Seq(3, 5, 13).map(runAt(_, name))
       assert(results(0) == results(1) && results(1) == results(2),

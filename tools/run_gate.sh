@@ -19,11 +19,21 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 sbt "runMain graft.Bench" 2>/dev/null 
 
 echo "== Per-query regression vs last recorded canonical =="
 # BENCH_LAST.json is rewritten by each full sf0.1 bench run; compare the
-# working copy against the last committed canonical and flag >2x moves
+# working copy against the last committed canonical and flag >2x moves.
+# Both sides must be FULL canonicals (n >= 200 queries): a scratch
+# single-query artifact must never masquerade as the baseline (VERDICT
+# r13 item 3), and a >2x regression FAILS the gate (ADVICE r13 item 1 —
+# a stale working copy is a reason to re-bench, not to ship a regression).
 if git show HEAD:BENCH_LAST.json > /tmp/bench_prev.json 2>/dev/null \
    && [ -f BENCH_LAST.json ]; then
-  python3 tools/bench_regression.py BENCH_LAST.json /tmp/bench_prev.json \
-    || echo "regression gate FLAGGED (see above)"
+  for f in BENCH_LAST.json /tmp/bench_prev.json; do
+    n=$(python3 -c "import json,sys; print(len(json.load(open(sys.argv[1])).get('queries',{})))" "$f")
+    if [ "$n" -lt 200 ]; then
+      echo "refusing regression compare: $f has only $n queries (need >= 200 — not a full canonical)"
+      exit 1
+    fi
+  done
+  python3 tools/bench_regression.py BENCH_LAST.json /tmp/bench_prev.json
 else
   echo "skipped (no committed BENCH_LAST.json to compare against)"
 fi
