@@ -130,7 +130,15 @@ object Clusters {
     * (`rounds` must cover the maximum component diameter — callers pick a
     * bound ≥ the edge count of the largest plausible component).
     */
-  def unrolledSql(pairsCte: String, rounds: Int): String = {
+  def unrolledSql(pairsCte: String, rounds: Int): String =
+    s"""${unrolledLabelCtes(pairsCte, rounds)}
+       |SELECT doc_id, keeper_id FROM asg ORDER BY doc_id""".stripMargin
+
+  /** The CTE chain of [[unrolledSql]] WITHOUT the final select, ending in
+    * `asg(doc_id, keeper_id)` (sentinel row included) — for oracles that
+    * aggregate over the assignment instead of emitting it (mm6).
+    */
+  def unrolledLabelCtes(pairsCte: String, rounds: Int): String = {
     // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
     // round references the previous one twice — unmaterialized, the plan
     // expands exponentially (observed as "too many open files")
@@ -147,8 +155,8 @@ object Clusters {
     }
     s"""$pairsCte,
        |$init,
-       |${steps.mkString(",\n")}
-       |SELECT doc_id, keeper_id FROM (
+       |${steps.mkString(",\n")},
+       |asg AS MATERIALIZED (
        |  SELECT id AS doc_id, label AS keeper_id FROM l$rounds
        |  UNION ALL
        |  -- convergence sentinel: if the last two rounds still differ the
@@ -157,7 +165,6 @@ object Clusters {
        |  -- instead of reading as an engine bug (ADVICE r13 item 4)
        |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
        |  WHERE EXISTS (SELECT 1 FROM l$rounds f JOIN l${rounds - 1} p
-       |                ON f.id = p.id AND f.label <> p.label)
-       |) ORDER BY doc_id""".stripMargin
+       |                ON f.id = p.id AND f.label <> p.label))""".stripMargin
   }
 }

@@ -113,6 +113,56 @@ object MultimodalQueries {
         rounds = 40)) { (s, d) =>
       graft.dedup.Clusters.assignKeepers(phashPairs(s, d).select("a", "b"))
         .orderBy("doc_id")
+    },
+
+    // ── MM6: canonical-representative selection per media near-dup
+    // cluster — the step that makes mm4/mm5 an actual media DEDUP: for
+    // each perceptual cluster keep the highest-quality member (largest
+    // payload, doc_id tie-break) and record what the keep decision covers
+    // (member count, total bytes reclaimed-if-deduped). Rides the SAME
+    // memoized pair stage as mm4/mm5 and mm5's cluster assignment; the
+    // argmax is a per-cluster window over near-dup-sized components (never
+    // the corpus), and payload METADATA joins the assignment — payloads
+    // themselves never shuffle (dd10's digests-not-payloads contract).
+    // The oracle keeps the convergence sentinel visible: an under-iterated
+    // assignment surfaces as a cluster -1 row, not silent divergence.
+    Q("mm6_cluster_representative",
+      s"""${graft.dedup.Clusters.unrolledLabelCtes(
+            s"""$phashCandSqlCtes,
+               |pairs AS MATERIALIZED (SELECT a, b FROM cand WHERE hamming <= 3)""".stripMargin,
+            rounds = 40)},
+         |meta AS (SELECT doc_id,
+         |           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |         FROM documents),
+         |mem AS (SELECT asg.keeper_id AS cluster, asg.doc_id,
+         |               coalesce(meta.n_bytes, -1) AS n_bytes
+         |        FROM asg LEFT JOIN meta USING (doc_id)),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         |              CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+         |       FROM mem GROUP BY cluster),
+         |rk AS (SELECT cluster, doc_id, n_bytes,
+         |              row_number() OVER (PARTITION BY cluster
+         |                                 ORDER BY n_bytes DESC, doc_id) AS r
+         |       FROM mem)
+         |SELECT rk.cluster, rk.doc_id AS rep_doc, rk.n_bytes AS rep_bytes,
+         |       sz.n_members, sz.total_bytes
+         |FROM rk JOIN sz USING (cluster) WHERE rk.r = 1
+         |ORDER BY cluster""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val asg = graft.dedup.Clusters.assignKeepers(phashPairs(s, d).select("a", "b"))
+      val meta = Tables.documents(s, d).select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      val mem = asg.join(meta, Seq("doc_id"), "left")
+        .select(col("keeper_id").as("cluster"), col("doc_id"),
+          coalesce(col("n_bytes"), lit(-1L)).as("n_bytes"))
+      val sz = mem.groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"), sum("n_bytes").cast("long").as("total_bytes"))
+      val w = Window.partitionBy("cluster").orderBy(col("n_bytes").desc, col("doc_id"))
+      mem.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .join(sz, "cluster")
+        .select(col("cluster"), col("doc_id").as("rep_doc"),
+          col("n_bytes").as("rep_bytes"), col("n_members"), col("total_bytes"))
+        .orderBy("cluster")
     }
   )
 

@@ -396,6 +396,100 @@ object StreamingQueries {
         .agg(count(lit(1)).as("dau"))
         .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("dau"))
         .orderBy("day")
+    },
+
+    // ── ST8: arbitrary stateful processing via flatMapGroupsWithState —
+    // the custom-state API the built-in stateful operators (window aggs,
+    // dedup, stream-stream join) can't express: a hand-written per-user
+    // profile (event count, first/last seen, distinct event types) updated
+    // per micro-batch. The state reducer is ORDER-INSENSITIVE (count,
+    // min, max, set-union), so the final per-user state is identical
+    // however AvailableNow slices the input into batches — that is what
+    // makes a custom-state query oracle-checkable at all; a reducer that
+    // depends on intra-batch order has no batch-SQL twin. Update-mode
+    // output appends every per-batch emission tagged with its batch id;
+    // the last emission per user IS the final state. At 100 TB the state
+    // is one small fixed-size row per user sharded across state
+    // partitions; continuous operation would add an event-time timeout
+    // (GroupStateTimeout) to expire idle users — NoTimeout here because
+    // the drain is bounded.
+    Q("st8_custom_state",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |                     CAST(ts AS TIMESTAMP))) AS first_sec,
+        |       max(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+        |                     CAST(ts AS TIMESTAMP))) AS last_sec,
+        |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val dir = stageEvents(s, d)
+      withStatePartitions(s, dir) { st8Drained(s, dir) }
     }
   )
+
+  /** st8's streaming plan, pre-sink: per-user custom state via
+    * flatMapGroupsWithState (exposed so StreamingPlanSpec can assert the
+    * FlatMapGroupsWithState physical node on the DataFrame the query
+    * runs).
+    */
+  private[graft] def st8Profiles(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[St8Out] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = s.read.parquet(dir).schema
+    s.readStream.schema(schema).parquet(dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"), col("event_type"))
+      .as[St8Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[St8Event], state: GroupState[St8State]) =>
+          val old = state.getOption.getOrElse(
+            St8State(0L, Long.MaxValue, Long.MinValue, Nil))
+          var n = old.n
+          var first = old.first
+          var last = old.last
+          var types = old.types.toSet
+          it.foreach { e =>
+            n += 1
+            if (e.sec < first) first = e.sec
+            if (e.sec > last) last = e.sec
+            types += e.event_type
+          }
+          val next = St8State(n, first, last, types.toSeq.sorted)
+          state.update(next)
+          Iterator(St8Out(uid, n, first, last, next.types.mkString(",")))
+      }
+  }
+
+  /** Drain st8's update-mode stream: every micro-batch's emissions append
+    * tagged with the batch id; the final answer is the LAST emission per
+    * user (state is cumulative, so later batches strictly supersede).
+    */
+  private def st8Drained(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val out = graft.CacheRegistry.trackPath(
+      s"/root/repo/target/stream-sink/st8_${System.nanoTime()}")
+    val data = s"$out/data"
+    val q = st8Profiles(s, dir).toDF().writeStream
+      .outputMode("update").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/_ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id)).write.mode("append").parquet(data)
+      }
+      .start()
+    q.awaitTermination()
+    reportStreamStats(s, q, "st8")
+    val w = Window.partitionBy("user_id").orderBy(col("batch_id").desc)
+    s.read.parquet(data)
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select("user_id", "n_events", "first_sec", "last_sec", "types")
+      .orderBy("user_id")
+  }
 }
+
+/** st8's typed-stream records: input event, per-user state, emitted
+  * profile (top-level so Spark's product encoders resolve them).
+  */
+private[graft] case class St8Event(user_id: Long, sec: Long, event_type: String)
+private[graft] case class St8State(n: Long, first: Long, last: Long, types: Seq[String])
+private[graft] case class St8Out(user_id: Long, n_events: Long,
+    first_sec: Long, last_sec: Long, types: String)

@@ -21,9 +21,10 @@ class StreamingPlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   /** Run the streaming DF through a memory sink and return explain output. */
-  private def executedPlan(df: DataFrame, name: String): String = {
+  private def executedPlan(df: DataFrame, name: String,
+      mode: String = "append"): String = {
     val q = df.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     try {
       q.processAllAvailable()
       val buf = new ByteArrayOutputStream()
@@ -83,6 +84,14 @@ class StreamingPlanSpec extends SparkSpec {
       s"expected streaming dedup state for the DAU key, got:\n$plan")
     assert(plan.contains("EventTimeWatermark"),
       s"no watermark bounding the per-day user state:\n$plan")
+  }
+
+  test("st8 plans FlatMapGroupsWithState custom state (not a batch aggregate)") {
+    val dir = StreamingQueries.stageEvents(spark, sf)
+    val plan = executedPlan(StreamingQueries.st8Profiles(spark, dir).toDF(),
+      s"plan_st8_${System.nanoTime()}", mode = "update")
+    assert(plan.contains("FlatMapGroupsWithState"),
+      s"expected the custom-state operator, got:\n$plan")
   }
 
   test("no pack streaming query drains through the memory sink") {
