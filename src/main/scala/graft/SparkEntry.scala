@@ -18,7 +18,7 @@ object SparkEntry {
       StatQueries.all ++ TqSuiteQueries.all ++ Wave7Queries.all ++
       Wave8Queries.all ++ Wave9Queries.all ++ Wave10Queries.all ++
       Wave11Queries.all ++ Wave12Queries.all ++ Wave13Queries.all ++
-      Wave14Queries.all
+      Wave14Queries.all ++ Wave15Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -23,7 +23,7 @@ import graft.{Q, Tables}
   */
 object SimilarityQueries {
 
-  private def topkCos(s: SparkSession, d: String, sameLabelOnly: Boolean, k: Int): DataFrame = {
+  private[queries] def topkCos(s: SparkSession, d: String, sameLabelOnly: Boolean, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val corpus = Tables.embeddings(s, d)
     val queries = corpus.filter(col("vec_id") < 10)
@@ -60,7 +60,7 @@ object SimilarityQueries {
   }
 
   /** Oracle: same math in DuckDB via a constant range(64) unnest. */
-  private def cosSql(sameLabelOnly: Boolean, k: Int): String = {
+  private[queries] def cosSql(sameLabelOnly: Boolean, k: Int): String = {
     val labelPred = if (sameLabelOnly) "AND e.label = q.label" else ""
     s"""WITH norms AS (
        |  SELECT vec_id, sqrt(sum(CAST(embedding[r.range+1] AS DOUBLE)

@@ -117,7 +117,7 @@ object Wave13Queries {
     * exposing (doc_id, source, lang, n_chars, url, canon, host, domain).
     * Mirrors graft.text.Urls step by step.
     */
-  private val urlCanonSqlCtes: String =
+  private[queries] val urlCanonSqlCtes: String =
     s"""$urlSqlCte,
        |nf AS (SELECT *, regexp_extract(url, '^([^#]*)', 1) AS nofrag FROM u),
        |pr AS (SELECT *,
@@ -249,22 +249,27 @@ object Wave13Queries {
     Q("dd8b_substring_referee",
       s"""WITH smp AS (SELECT doc_id, text FROM documents
          |             WHERE doc_id < 2000 OR ${h16("CAST(doc_id AS VARCHAR)")} < 1310),
-         |p AS (SELECT doc_id,
-         |        unnest(range(1, CAST(length(text) AS BIGINT) - 28, 4)) AS i
-         |      FROM documents WHERE length(text) >= 30),
-         |w AS (SELECT DISTINCT p.doc_id, substr(d.text, CAST(p.i AS INTEGER), 30) AS win
-         |      FROM p JOIN documents d USING (doc_id)),
-         |cap AS (SELECT win FROM w GROUP BY win HAVING count(*) <= 20),
-         |wc AS (SELECT doc_id, win FROM w JOIN cap USING (win)),
-         |rep AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |        FROM wc x JOIN wc y ON x.win = y.win AND x.doc_id < y.doc_id
-         |        WHERE x.doc_id IN (SELECT doc_id FROM smp)
-         |          AND y.doc_id IN (SELECT doc_id FROM smp)),
          |p4 AS (SELECT doc_id,
          |         unnest(range(1, CAST(length(text) AS BIGINT) - 28, 4)) AS i
          |       FROM smp WHERE length(text) >= 30),
          |w4 AS (SELECT DISTINCT p4.doc_id, substr(m.text, CAST(p4.i AS INTEGER), 30) AS win
          |       FROM p4 JOIN smp m USING (doc_id)),
+         |-- rep needs dd8's GLOBAL df cap, but only for windows of SAMPLE
+         |-- docs: price df via one linear full-corpus window scan filtered
+         |-- to the sample's window set BEFORE aggregating (the
+         |-- referee_substr device) — the corpus-wide DISTINCT + pair join
+         |-- spelling of the same set out-spilled a 73 GB disk at sf10
+         |df AS (SELECT win, count(DISTINCT doc_id) AS df FROM
+         |         (SELECT doc_id, substr(text, CAST(i AS INTEGER), 30) AS win
+         |          FROM (SELECT doc_id, text,
+         |                  unnest(range(1, CAST(length(text) AS BIGINT) - 28, 4)) AS i
+         |                FROM documents WHERE length(text) >= 30))
+         |       WHERE win IN (SELECT win FROM w4)
+         |       GROUP BY win),
+         |wcs AS (SELECT w4.doc_id, w4.win FROM w4
+         |        JOIN df ON df.win = w4.win AND df.df <= 20),
+         |rep AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |        FROM wcs x JOIN wcs y ON x.win = y.win AND x.doc_id < y.doc_id),
          |p1 AS (SELECT doc_id,
          |         unnest(range(1, CAST(length(text) AS BIGINT) - 28, 1)) AS i
          |       FROM smp WHERE length(text) >= 30),

@@ -251,6 +251,103 @@ def referee_jaccard(con, out_dir, threshold=0.8, target_sample=2000):
     return 1, 0
 
 
+def referee_fm2(con, out_dir, minsup=3, cap=60):
+    """Scale-feasible exact referee for fm2 (GRAFT_FM2_REFEREE=1).
+
+    fm2's full oracle materializes the customer-basket pair aggregate
+    (~1e9 distinct pairs at sf10) before the Apriori-pruned triple count
+    -- out-spilled a 73 GB disk. ScaleData's replica structure makes an
+    exact referee cheap: part AND customer key spaces are offset per
+    replica, so baskets never span replicas and every triple's support is
+    replica-local.
+
+      1. SOUNDNESS + support exactness: every reported triple's support
+         and its three sub-pair supports are recomputed exactly over
+         baskets RESTRICTED to the reported parts (a pair/triple's
+         supporting customers all hold both/all parts, so the restriction
+         loses nothing); the row passes iff recomputed == reported,
+         support >= minsup, and all three sub-pairs are frequent. The
+         basket-size cap is priced GLOBALLY (one distinct agg over the
+         full basket table) exactly as the query does.
+      2. COMPLETENESS (base block): the full fm2 pipeline re-run over the
+         first 1/GRAFT_SCALE_REPS of the customer AND part key spaces
+         (= ScaleData replica 0 when the env var matches the generation;
+         any key-range block is SOUND -- cross-replica baskets don't
+         exist, so a misaligned block only weakens the check, never
+         false-fails) must be exactly the reported rows in that range.
+
+    Returns (n_ok, n_bad) over the one query name.
+    """
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "100"))
+    rep = f"{out_dir}/fm2_frequent_triples/*.parquet"
+    con.sql(f"CREATE OR REPLACE TEMP TABLE frep AS SELECT * FROM '{rep}'")
+    n_rep = con.sql("SELECT count(*) FROM frep").fetchone()[0]
+    bad_shape = con.sql(
+        "SELECT count(*) FROM ("
+        "  SELECT pa FROM frep WHERE NOT (pa < pb AND pb < pc) "
+        f"  UNION ALL SELECT pa FROM frep WHERE support < {minsup} "
+        "  UNION ALL SELECT pa FROM frep GROUP BY pa, pb, pc HAVING count(*) > 1)"
+    ).fetchone()[0]
+    con.sql("CREATE OR REPLACE TEMP TABLE fbb AS "
+            "SELECT DISTINCT o_custkey AS c, l_partkey AS p "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+    con.sql("CREATE OR REPLACE TEMP TABLE fok AS "
+            f"SELECT c FROM (SELECT c, count(*) n FROM fbb GROUP BY 1) WHERE n <= {cap}")
+    con.sql("CREATE OR REPLACE TEMP TABLE fsb AS "
+            "SELECT b.c, b.p FROM fbb b JOIN fok USING (c) "
+            "WHERE b.p IN (SELECT pa FROM frep UNION SELECT pb FROM frep "
+            "              UNION SELECT pc FROM frep)")
+    # exact support of every reported triple and sub-pair over the
+    # restricted baskets (group state = |reported| rows)
+    bad_val = con.sql(
+        "WITH ts AS (SELECT r.pa, r.pb, r.pc, r.support, count(x.c) AS s "
+        "  FROM frep r "
+        "  LEFT JOIN fsb x ON x.p = r.pa "
+        "  JOIN fsb y ON y.p = r.pb AND y.c = x.c "
+        "  JOIN fsb z ON z.p = r.pc AND z.c = x.c "
+        "  GROUP BY 1, 2, 3, 4), "
+        "ps AS (SELECT x.p AS a, y.p AS b, count(*) AS s "
+        "  FROM fsb x JOIN fsb y ON y.c = x.c AND x.p < y.p GROUP BY 1, 2) "
+        "SELECT count(*) FROM ts "
+        "LEFT JOIN ps p1 ON p1.a = ts.pa AND p1.b = ts.pb "
+        "LEFT JOIN ps p2 ON p2.a = ts.pa AND p2.b = ts.pc "
+        "LEFT JOIN ps p3 ON p3.a = ts.pb AND p3.b = ts.pc "
+        "WHERE ts.s IS DISTINCT FROM ts.support "
+        f"   OR coalesce(p1.s, 0) < {minsup} OR coalesce(p2.s, 0) < {minsup} "
+        f"   OR coalesce(p3.s, 0) < {minsup}"
+    ).fetchone()[0]
+    # completeness: full pipeline over the replica-0 key block
+    cmax = con.sql("SELECT max(o_custkey) FROM orders").fetchone()[0]
+    pmax = con.sql("SELECT max(l_partkey) FROM lineitem").fetchone()[0]
+    cb, pb_ = cmax // reps + 1, pmax // reps + 1
+    qual, missing = con.sql(
+        f"WITH bb AS (SELECT c, p FROM fbb WHERE c <= {cb} AND p <= {pb_}), "
+        f"ok2 AS (SELECT c FROM (SELECT c, count(*) n FROM bb GROUP BY 1) WHERE n <= {cap}), "
+        "b2 AS (SELECT bb.c, bb.p FROM bb JOIN ok2 USING (c)), "
+        "pr AS (SELECT x.p pa, y.p pb, count(*) s FROM b2 x "
+        "       JOIN b2 y ON x.c = y.c AND x.p < y.p GROUP BY 1, 2), "
+        f"fp AS (SELECT pa, pb FROM pr WHERE s >= {minsup}), "
+        "tr AS (SELECT x.p pa, y.p pb, z.p pc, count(*) s "
+        "       FROM b2 x JOIN b2 y ON x.c = y.c AND x.p < y.p "
+        "       JOIN fp f1 ON f1.pa = x.p AND f1.pb = y.p "
+        "       JOIN b2 z ON y.c = z.c AND y.p < z.p "
+        "       JOIN fp f2 ON f2.pa = x.p AND f2.pb = z.p "
+        "       JOIN fp f3 ON f3.pa = y.p AND f3.pb = z.p "
+        f"      GROUP BY 1, 2, 3), q AS (SELECT * FROM tr WHERE s >= {minsup}) "
+        "SELECT count(*), count(*) FILTER (r.pa IS NULL) FROM q "
+        "LEFT JOIN frep r ON r.pa = q.pa AND r.pb = q.pb AND r.pc = q.pc "
+        "  AND r.support = q.s"
+    ).fetchone()
+    if bad_shape or bad_val or missing:
+        print(f"FAIL fm2_frequent_triples (fm2-referee: shape={bad_shape} "
+              f"unsound={bad_val} missing-from-base-block={missing}/{qual})")
+        return 0, 1
+    print(f"ok   fm2_frequent_triples ({n_rep} rows, fm2-referee: every "
+          f"reported support and sub-pair frequency recomputed exactly; "
+          f"{qual} qualifying triples over the replica-0 block all present)")
+    return 1, 0
+
+
 def referee_substr(con, out_dir, cap=20, block=2000):
     """Scale-feasible exact referee for dd8 (GRAFT_SUBSTR_REFEREE=1).
 
@@ -394,6 +491,14 @@ def run(views, out_dir):
     if os.environ.get("GRAFT_SUBSTR_REFEREE") and "dd8_substring_dup" in oracles:
         oracles = {k: v for k, v in oracles.items() if k != "dd8_substring_dup"}
         ok, bad = referee_substr(con, out_dir)
+        n_ok += ok
+        n_bad += bad
+    # GRAFT_FM2_REFEREE=1: same pattern for fm2, whose basket-pair
+    # aggregate out-spills the disk at sf10 (supports are replica-local,
+    # so the referee is exact -- see referee_fm2).
+    if os.environ.get("GRAFT_FM2_REFEREE") and "fm2_frequent_triples" in oracles:
+        oracles = {k: v for k, v in oracles.items() if k != "fm2_frequent_triples"}
+        ok, bad = referee_fm2(con, out_dir)
         n_ok += ok
         n_bad += bad
     for name, sql in sorted(oracles.items()):
