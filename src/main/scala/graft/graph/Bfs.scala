@@ -65,7 +65,10 @@ object Bfs {
       while (hop < maxHops && !frontier.isEmpty) {
         hop += 1
         val reached = expand(edges, frontier, settled, hop).localCheckpoint()
-        settled = settled.unionByName(reached).localCheckpoint()
+        // reached is checkpointed, so the settled union is a flat union of
+        // ≤maxHops checkpointed frames — O(1)-deep lineage without its own
+        // checkpoint (which re-materialized ALL settled rows every round)
+        settled = settled.unionByName(reached)
         frontier = reached
       }
       settled

@@ -73,9 +73,10 @@ object PageRank {
   def run(edges0: DataFrame, iters: Int, teleport: Double = 0.15,
       damping: Double = 0.85, roundTo: Int = 9): DataFrame = {
     val g = prepare(edges0)
+    // pr₀ is a cheap projection over the checkpointed node set consumed
+    // ONCE (by round 1) — checkpointing it was a pure extra job
     var pr = g.nodes.crossJoin(g.nn)
       .select(col("node"), round(lit(1.0) / col("n"), roundTo).as("pr"))
-      .localCheckpoint()
     (1 to iters).foreach { _ =>
       pr = step(g, pr, teleport, damping, roundTo).localCheckpoint()
     }
@@ -104,11 +105,12 @@ object PageRank {
     def withSeed(df: DataFrame): DataFrame = df
       .crossJoin(broadcast(ns))
       .join(broadcast(seeds.withColumn("is_seed", lit(1))), Seq("node"), "left")
+    // pr₀: cheap projection consumed once by round 1 — no checkpoint (run's
+    // reasoning)
     var pr = withSeed(g.nodes)
       .select(col("node"),
         round(when(col("is_seed").isNotNull, lit(1.0) / col("ns"))
           .otherwise(lit(0.0)), roundTo).as("pr"))
-      .localCheckpoint()
     (1 to iters).foreach { _ =>
       val contribs = g.edges
         .join(pr.withColumnRenamed("node", "src"), "src")

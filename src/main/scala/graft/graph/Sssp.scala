@@ -59,10 +59,13 @@ object Sssp {
           .agg(min(col("dist")).as("dist"),
             min(when(col("settled") === 1, col("dist"))).as("old"))
           .localCheckpoint()
+        // merged is already checkpointed: the frontier filter over it has
+        // O(1) lineage, so a second checkpoint here was a pure extra
+        // materialization job per round (removed; isEmpty + next round's
+        // join read the cheap filter directly)
         frontier = merged
           .filter(col("old").isNull || col("dist") < col("old"))
           .select(col("node"), col("dist"))
-          .localCheckpoint()
         dist = merged.select(col("node"), col("dist"))
       }
       dist

@@ -1092,10 +1092,16 @@ object RelationalQueries {
         .select(col("l_orderkey"), col("l_suppkey"),
           when(col("l_shipdate") > col("o_orderdate")
             + expr("INTERVAL 1000 DAYS"), 1).otherwise(0).as("late"))
-      val po = j.groupBy("l_orderkey")
-        .agg(countDistinct(col("l_suppkey")).cast("long").as("n_supp"),
-          countDistinct(when(col("late") === 1, col("l_suppkey")))
-            .cast("long").as("n_late"),
+      // aggregate BEFORE the distinct-shuffle: collapsing to (order,
+      // supplier) grain first (late = "any line late") turns the two
+      // countDistincts into plain count/sum — no Expand (the former plan
+      // tripled every joined row through the multi-distinct Expand), and
+      // both aggs get map-side partials
+      val po = j.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(col("late")).as("late"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).cast("long").as("n_supp"),
+          sum(col("late")).cast("long").as("n_late"),
           max(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
       // group and order on the KEY, not the name: supplier names are not
       // unique (replicated corpora repeat them across key ranges), so a

@@ -103,6 +103,8 @@ object TextQueries {
   def prewarmSharedStages(s: SparkSession, d: String): Unit = {
     shinglesDf(s, d).count()
     allPairsDf(s, d).count()
+    // dd8/dd8b's shared window-pair stage (same accounting as above)
+    AnalyticsQueries.substringPairsCached(s, d).count(): Unit
   }
 
   /** Drop every memoized stage (shingles/pairs) and per-query scratch cache

@@ -471,12 +471,23 @@ object TqSuiteQueries {
         .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_name"),
           cents(col("s_acctbal")).as("bal_c"))
-      val supply = lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
       val pl = Tables.part(s, d)
         .filter(col("p_size") <= 5 && col("p_type") === "LARGE")
         .select("p_partkey", "p_name")
+      // join the filtered part dim BELOW the distinct: the former plan
+      // deduped every (partkey, suppkey) of the whole fact table and only
+      // then joined the selective dim — here the dim prunes first (pl
+      // stays UN-hinted: part is fact/30 at 100 TB, so the planner
+      // broadcasts only while stats fit), and the explicit p_partkey
+      // repartition satisfies the distinct AND the min window
+      // (HashPartitioning(p_partkey) clusters the wider distinct key),
+      // so one exchange serves both
+      val supply = lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(pl, col("l_partkey") === col("p_partkey"))
+        .repartition(col("p_partkey"))
+        .select("p_partkey", "p_name", "l_suppkey").distinct()
       val w = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
-      supply.join(pl, col("l_partkey") === col("p_partkey"))
+      supply
         .join(sup, col("l_suppkey") === col("s_suppkey"))
         .withColumn("min_c", min("bal_c").over(w))
         .filter(col("bal_c") === col("min_c"))
@@ -634,13 +645,19 @@ object TqSuiteQueries {
         |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
         |FROM j GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100""".stripMargin) { (s, d) =>
-      val supply = lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
       val p = Tables.part(s, d)
         .filter(col("p_type") =!= "PROMO" && col("p_size") <= 25)
         .select("p_partkey", "p_brand", "p_type", "p_size")
       val excl = supplier(s, d).filter(col("s_acctbal") < 0.0)
         .select("s_suppkey")
-      supply
+      // no pre-distinct: countDistinct's own two-level aggregate dedups
+      // (brand, type, size, suppkey) map-side, so the former
+      // distinct-(partkey, suppkey) exchange over the whole fact table was
+      // a second full-fact shuffle for nothing; dims prune first (part
+      // stays UN-hinted — fact/30 at 100 TB, the planner broadcasts it
+      // only while its stats say it fits), then the single keyed agg is
+      // the only remaining fact-sized exchange
+      lineitem(s, d).select("l_partkey", "l_suppkey")
         .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
         .join(p, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")

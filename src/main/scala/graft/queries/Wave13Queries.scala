@@ -285,7 +285,8 @@ object Wave13Queries {
          |          (SELECT 1 FROM rep r WHERE r.a = e.a AND r.b = e.b)) AS n_missed,
          |       (SELECT count(*) FROM rep r WHERE NOT EXISTS
          |          (SELECT 1 FROM ex e WHERE e.a = r.a AND e.b = r.b)) AS n_extra""".stripMargin) { (s, d) =>
-      substringReferee(Tables.documents(s, d))
+      substringReferee(Tables.documents(s, d),
+        AnalyticsQueries.substringPairsCached(s, d))
     }
   )
 
@@ -293,14 +294,21 @@ object Wave13Queries {
     * spec can run it on hand fixtures (where the base block covers the
     * whole fixture corpus).
     */
-  def substringReferee(docs: DataFrame): DataFrame = {
+  def substringReferee(docs: DataFrame): DataFrame =
+    substringReferee(docs, AnalyticsQueries.substringPairs(docs))
+
+  /** Referee with the production pair stage passed in — the declared query
+    * hands dd8's MEMOIZED pair stage here so a bench run pays the window
+    * build + inverted-index join once across dd8 and this referee.
+    */
+  def substringReferee(docs: DataFrame, pairs: DataFrame): DataFrame = {
     // 1310 = (0.02 * Sampling.Buckets).toInt — the 2% md5-bucket sample
     val smp = docs
       .filter(col("doc_id") < 2000 ||
         graft.operators.Sampling.bucket(col("doc_id")) < 1310)
       .select("doc_id", "text")
     val smpIds = smp.select("doc_id")
-    val rep = AnalyticsQueries.substringPairs(docs)
+    val rep = pairs
       .join(smpIds.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
       .join(smpIds.withColumnRenamed("doc_id", "b"), Seq("b"), "left_semi")
       .select("a", "b")

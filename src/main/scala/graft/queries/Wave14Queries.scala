@@ -148,18 +148,39 @@ object Wave14Queries {
       .select(col("event_type").as("rem")).distinct().localCheckpoint()
     val rem = channels.unionByName(
       s.range(1).select(lit("__none__").as("rem")))
+    // hash-partition the mass table by rem ONCE: rem never changes through
+    // a round (only st does), and HashPartitioning(rem) clusters the
+    // round agg's (rem, st) keys — so every round's groupBy runs WITHOUT
+    // an exchange and the whole chain between checkpoints is one stage
     var m = rem.select(col("rem"), lit("START").as("st"),
-      lit(1000000000000L).as("v")).localCheckpoint()
-    for (_ <- 1 to at3Rounds) {
-      val absorbed = m.filter(col("st").isin("CONV", "NULL"))
-        .select(col("rem"), col("st"), col("v"))
-      val moved = m.filter(!col("st").isin("CONV", "NULL")).as("m")
-        .join(p.as("p"), col("p.src") === col("m.st") && col("p.nxt") =!= col("m.rem"))
-        .select(col("m.rem").as("rem"), col("p.nxt").as("st"),
-          expr("(v * ppm) div 1000000L").as("v"))
-      m = absorbed.unionByName(moved)
+      lit(1000000000000L).as("v")).repartition(col("rem")).localCheckpoint()
+    // One round = ONE left join instead of the former absorbed/moved
+    // filter-union (which referenced m twice, so plans doubled per
+    // un-checkpointed round and m had to be checkpointed EVERY round —
+    // 24 jobs over a ~50-row mass table was the query's dominant cost,
+    // not arithmetic). The left join touches each mass row once: an
+    // absorbed row matches no transition (the join condition excludes
+    // absorbing states) and passes through on the null-extended side; a
+    // transient row fans out to its surviving transitions and is dropped
+    // if removal left it none (inner-join semantics via the post-filter).
+    // p is O(|states|²) — broadcast, so the mass side never shuffles for
+    // the join. Single-reference rounds grow the plan LINEARLY, so one
+    // checkpoint per 8 rounds (3 jobs total; A/B-swept 4/6/8/12 — 8 won,
+    // 12 pays superlinear planning) bounds lineage; the
+    // truncated-integer arithmetic is checkpoint-cadence-invariant.
+    val absorbing = col("m.st").isin("CONV", "NULL")
+    for (r <- 1 to at3Rounds) {
+      m = m.as("m")
+        .join(broadcast(p.as("p")),
+          !absorbing && col("p.src") === col("m.st") &&
+            col("p.nxt") =!= col("m.rem"), "left")
+        .filter(absorbing || col("p.src").isNotNull)
+        .select(col("m.rem").as("rem"),
+          when(absorbing, col("m.st")).otherwise(col("p.nxt")).as("st"),
+          when(absorbing, col("m.v"))
+            .otherwise(expr("(v * ppm) div 1000000L")).as("v"))
         .groupBy("rem", "st").agg(sum("v").cast("long").as("v"))
-        .localCheckpoint()
+      if (r % 8 == 0) m = m.localCheckpoint()
     }
     val conv = m.filter(col("st") === "CONV").select(col("rem"), col("v"))
     val base = rem.filter(col("rem") === "__none__")

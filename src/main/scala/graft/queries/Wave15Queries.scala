@@ -244,16 +244,27 @@ object Wave15Queries {
         .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
         .agg(count(lit(1)).as("s"))
       val fp = pr.filter(col("s") >= 3).select("pa", "pb")
-      val tr = bb.as("x")
-        .join(bb.as("y"), col("x.c") === col("y.c") && col("x.p") < col("y.p"))
-        .join(fp.as("f1"), col("f1.pa") === col("x.p") && col("f1.pb") === col("y.p"),
-          "left_semi")
-        .join(bb.as("z"), col("y.c") === col("z.c") && col("y.p") < col("z.p"))
-        .join(fp.as("f2"), col("f2.pa") === col("x.p") && col("f2.pb") === col("z.p"),
-          "left_semi")
-        .join(fp.as("f3"), col("f3.pa") === col("y.p") && col("f3.pb") === col("z.p"),
-          "left_semi")
-        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"), col("z.p").as("pc"))
+      // Apriori candidate GENERATION (fp ⋈ fp on the shared first item +
+      // the third sub-pair prune) runs on the frequent-pair table alone —
+      // |fp|-sized, never basket-sized. Only then do candidates meet the
+      // baskets: one equi-join on pa brings in the basket ids holding the
+      // first item, and two (c, item) semi-joins check the other two.
+      // The former spelling re-generated the Σ|basket|² pair explosion a
+      // SECOND time (once for pr, once inside tr) and carried it through
+      // three pair-keyed shuffles before the prune could bite; this form
+      // counts the same support over candidate-incidence rows only.
+      val cand = fp.as("f1")
+        .join(fp.as("f2"),
+          col("f1.pa") === col("f2.pa") && col("f1.pb") < col("f2.pb"))
+        .select(col("f1.pa").as("pa"), col("f1.pb").as("pb"),
+          col("f2.pb").as("pc"))
+        .join(fp.select(col("pa").as("pb"), col("pb").as("pc")),
+          Seq("pb", "pc"), "left_semi")
+      val tr = cand
+        .join(bb.select(col("c"), col("p").as("pa")), Seq("pa"))
+        .join(bb.select(col("c"), col("p").as("pb")), Seq("c", "pb"), "left_semi")
+        .join(bb.select(col("c"), col("p").as("pc")), Seq("c", "pc"), "left_semi")
+        .groupBy(col("pa"), col("pb"), col("pc"))
         .agg(count(lit(1)).as("support"))
       tr.filter(col("support") >= 3)
         .select(col("pa"), col("pb"), col("pc"), col("support"))

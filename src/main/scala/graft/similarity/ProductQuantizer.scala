@@ -70,13 +70,14 @@ object ProductQuantizer {
     */
   def encode(subs: DataFrame, idCol: String, books: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(subs.sparkSession)
-    subs.join(broadcast(books), "sub")
+    val scored = subs.join(broadcast(books), "sub")
       .select(col(idCol), col("sub"), col("cid"),
         round(KMeans.sqDist("sv", "cv"), 4).as("dist"))
-      .groupBy(idCol, "sub")
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col(idCol), col("sub"), col("m.cid").as("code"),
-        col("m.dist").as("dist"))
+    // KMeans.argminEncoded: the same (dist, cid) total order as
+    // min(struct(...)), but hash-aggregable (the struct buffer forced a
+    // SortAggregate that sorted all n·nSub·k scored rows per partition)
+    KMeans.argminEncoded(scored, Seq(idCol, "sub"), roundTo = 4)
+      .select(col(idCol), col("sub"), col("cid").as("code"), col("dist"))
   }
 
   /** One Lloyd step per subspace: encode against `books`, then 6dp-rounded

@@ -30,33 +30,36 @@ object NgramLangId {
     "fr" -> " le", "fr" -> "le ", "fr" -> "es ", "fr" -> " la", "fr" -> "ent",
     "fr" -> "eur", "fr" -> " et", "fr" -> "et ")
 
-  /** (doc_id, lang_pred, score) per document. */
+  /** (doc_id, lang_pred, score) per document.
+    *
+    * A document's score for a language is the number of that language's
+    * DISTINCT profile trigrams present in the text — and "distinct trigram
+    * of t contains tri" is exactly "t contains tri", so the whole scoring
+    * is |profiles| codegen'd substring searches PER ROW: no trigram
+    * explode (the former plan generated every trigram of every document —
+    * len(t) rows per doc — to keep ~2% of them), no distinct shuffle, no
+    * profile join, no per-doc window. Zero exchanges at any corpus size;
+    * the argmax over the (4-entry) language domain folds in-row with the
+    * same (score desc, lang asc) total order, 0 hits → 'und'.
+    */
   def predict(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    val profileDf = profiles.toDF("lang", "tri")
-    val tris = docs
-      .select(col("doc_id"), lower(col("text")).as("t"))
-      // sequence(1, 0) yields a DESCENDING [1, 0] in Spark — guard short texts
-      .select(col("doc_id"), explode(expr(
-        "CASE WHEN length(t) >= 3 THEN " +
-          "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) " +
-          "ELSE array() END")).as("tri"))
-      // literal pre-filter to the profile vocabulary BEFORE the distinct:
-      // the join would drop non-profile trigrams anyway, so this is
-      // semantics-free and shrinks the distinct's shuffle ~50x
-      .filter(col("tri").isin(profiles.map(_._2).distinct: _*))
-      .distinct()
-    val scores = tris.join(broadcast(profileDf), "tri")
-      .groupBy("doc_id", "lang").agg(count(lit(1)).as("score"))
-    // argmax with (score desc, lang asc) tie-break; unmatched docs → 'und'
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
-    val best = scores.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-    docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("lang"), lit("und")).as("lang_pred"),
-        coalesce(col("score"), lit(0L)).as("score"))
+    val langs = profiles.map(_._1).distinct.sorted
+    val t = lower(col("text"))
+    def score(lang: String) =
+      profiles.filter(_._1 == lang).map(_._2).distinct
+        .map(tri => when(t.contains(tri), 1L).otherwise(0L))
+        .reduce(_ + _)
+    // fold langs ALPHABETICALLY, replacing only on strictly-greater score:
+    // ties keep the earlier (smaller) lang — the window's
+    // (score desc, lang asc) order
+    val (bestLang, bestScore) = langs.tail.foldLeft(
+      (lit(langs.head), score(langs.head))) { case ((bl, bs), lang) =>
+      val sc = score(lang)
+      (when(sc > bs, lit(lang)).otherwise(bl), greatest(sc, bs))
+    }
+    docs.select(col("doc_id"),
+      when(bestScore > 0L, bestLang).otherwise(lit("und")).as("lang_pred"),
+      bestScore.as("score"))
   }
 
   /** Matching DuckDB oracle. */

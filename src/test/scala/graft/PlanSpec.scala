@@ -110,16 +110,41 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 4, s"documents re-joined in the window build ($scans scans):\n$p")
   }
 
-  test("dq1: column profiling is ONE pass — a single FileScan of lineitem") {
+  test("dq1: per-column hash-agg profiles — pruned scans, no Expand, no sort " +
+    "of fact-sized data") {
     val p = plan("dq1_expectations")
+    // one column-pruned scan per profiled column (columnar storage: same
+    // total bytes as the old single 4-column scan), each leg a HASH
+    // aggregate — the old multi-distinct Expand forced a SortAggregate
+    // that sorted 5 expanded rows per scanned row
     val scans = "FileScan".r.findAllIn(p).size
-    assert(scans == 1, s"profiling scans lineitem $scans times:\n$p")
+    assert(scans == 4, s"expected 4 column-pruned scans, got $scans:\n$p")
+    assert(!p.contains("Expand"), s"multi-distinct Expand is back:\n$p")
+    // the FACT-sized aggregation (directly over each scan) must be hash,
+    // not sort — the old Expand form fell back to SortAggregate over 5
+    // expanded rows per scanned row. (The keyless FINISH agg above the
+    // grouped values legitimately sort-aggregates: min/max over strings
+    // has an immutable buffer, and its input is one row per distinct
+    // value — never fact-sized.)
+    assert(!"SortAggregate\\(keys?=\\[[^\\]]".r.findFirstIn(p).isDefined,
+      s"fact-sized (value-keyed) sort aggregation is back:\n$p")
+    // value-KEYED hash aggs (partial + final per leg; the quantity leg's
+    // key prints wrapped in normalizenanandzero, so match any non-empty key)
+    val legAggs = "HashAggregate\\(keys?=\\[[^\\]]".r.findAllIn(p).size
+    assert(legAggs >= 8,
+      s"per-value hash-agg legs missing ($legAggs):\n$p")
+    // every scan leg reads exactly ONE column
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.forall(sch => sch.count(_ == ':') == 1),
+      s"a profile leg reads more than its own column:\n$schemas")
   }
 
-  test("dq1b: sketch profiling keeps the single scan AND carries the HLL aggregate") {
+  test("dq1b: per-column sketch profiles — pruned scans, no Expand, HLL present") {
     val p = plan("dq1b_expectations_sketch")
     val scans = "FileScan".r.findAllIn(p).size
-    assert(scans == 1, s"sketch profiling scans lineitem $scans times:\n$p")
+    assert(scans == 4, s"expected 4 column-pruned scans, got $scans:\n$p")
+    assert(!p.contains("Expand"), s"multi-distinct Expand is back:\n$p")
     // the 100 TB claim is the sketch: it must actually be in the plan, not
     // optimized away (the oracle gates its ±5% flag; this gates its presence)
     assert(p.contains("approx_count_distinct"), s"HLL sketch missing from plan:\n$p")
