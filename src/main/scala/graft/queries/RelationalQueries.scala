@@ -404,9 +404,19 @@ object RelationalQueries {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |       1 AS approx_ok
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      lineitem(s, d).groupBy("l_returnflag")
+      // two-level agg instead of countDistinct + HLL in ONE agg: the
+      // multi-distinct rewrite made the FIRST aggregate key on
+      // (returnflag, partkey) while ALSO carrying the 410-word HLL buffer
+      // PER PAIR — ~60k sketch buffers through the exchange. Deduping to
+      // (flag, partkey) first (plain count buffers), then running exact
+      // count + the HLL over the deduped rows, keeps sketch state at one
+      // buffer per FLAG; the HLL is duplicate-insensitive so the estimate
+      // is bit-identical.
+      lineitem(s, d).select("l_returnflag", "l_partkey")
+        .groupBy("l_returnflag", "l_partkey").agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+          count(col("l_partkey")).as("exact_parts"))
         .select(col("l_returnflag"), col("exact_parts"),
           when(abs(col("approx_parts") - col("exact_parts"))
             / col("exact_parts") <= 0.05, lit(1)).otherwise(lit(0))

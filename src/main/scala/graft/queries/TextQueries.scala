@@ -295,8 +295,12 @@ object TextQueries {
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(t)-3), " +
             "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
+        // two-level agg: deduping to (doc_id, sh) first keeps the
+        // count+countDistinct pair out of the multi-distinct Expand (which
+        // doubled every exploded shingle row into the doc-keyed shuffle)
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n3"), countDistinct(col("sh")).as("nd"))
+        .agg(sum("c").as("n3"), count(lit(1)).as("nd"))
         .select(col("doc_id"), col("n3"), col("nd"),
           when((col("n3") - col("nd")) * 5 > col("n3"), lit(1)).otherwise(lit(0))
             .as("repetitive"))

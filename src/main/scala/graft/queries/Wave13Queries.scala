@@ -183,8 +183,13 @@ object Wave13Queries {
          |FROM c JOIN g USING (canon)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val c = canonicalDocs(Tables.documents(s, d))
-      val g = c.groupBy("canon").agg(min(col("doc_id")).as("keeper_id"))
-      c.join(g, "canon")
+      // keeper = min(doc_id) over the canon group as a WINDOW, not an
+      // agg + join-back: the join form shuffled the doc table twice (agg
+      // input + join probe, non-identical exchanges so no reuse); the
+      // window form is ONE canon-keyed exchange with the same hot-key
+      // clustering exposure the join had anyway
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("canon")
+      c.select(col("doc_id"), min(col("doc_id")).over(w).as("keeper_id"))
         .select(col("doc_id"), col("keeper_id"),
           when(col("doc_id") =!= col("keeper_id"), 1).otherwise(0)
             .cast("int").as("is_dup"))

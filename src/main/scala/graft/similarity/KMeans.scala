@@ -50,37 +50,12 @@ object KMeans {
   def assign(points: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, roundTo: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(points.sparkSession)
-    val scored = points.crossJoin(broadcast(centroids))
+    points.crossJoin(broadcast(centroids))
       .select(col(idCol), col("cid"),
         round(sqDist(vecCol, "cvec"), roundTo).as("dist"))
-    argminEncoded(scored, Seq(idCol), roundTo)
-      .select(col(idCol), col("cid"), col("dist"))
-  }
-
-  /** min(struct(dist, cid)) — the round-then-argmin/tie-on-cid contract —
-    * as a HASH-aggregable `min` over ONE encoded long. A struct-typed
-    * aggregation buffer is immutable, so `min(struct(...))` falls back to
-    * SortAggregate: every scored row pays a per-partition SORT before the
-    * combiner (at 200k vectors × k=447 that is an 89M-row sort per round).
-    * Encoding (dist, cid) as `round(dist·10⁴)·2²⁰ + cid` keeps the same
-    * total order — dist is already rounded to `roundTo` ≤ 4 decimals, so
-    * the scaled value is an exact integer and scaling is order-preserving
-    * and invertible BIT-FOR-BIT: decode divides back in IEEE double, whose
-    * correctly-rounded quotient is the same double `round(x, roundTo)`
-    * produced (spec-asserted equal to the struct form on every corpus).
-    * Preconditions (hold for every caller: codebook/centroid ids are seed
-    * vec_ids < k ≤ 4096): 0 ≤ cid < 2²⁰ and dist·10^roundTo < 2⁴³.
-    */
-  private[similarity] def argminEncoded(
-      scored: DataFrame, keys: Seq[String], roundTo: Int): DataFrame = {
-    val scale = math.pow(10, roundTo)
-    val enc = round(col("dist") * scale).cast("long") * (1L << 20) + col("cid")
-    scored
-      .groupBy(keys.map(col): _*)
-      .agg(min(enc).as("e"))
-      .select(keys.map(col) ++ Seq(
-        (col("e") % (1L << 20)).as("cid"),
-        (expr(s"e div ${1L << 20}").cast("double") / scale).as("dist")): _*)
+      .groupBy(idCol)
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col(idCol), col("m.cid").as("cid"), col("m.dist").as("dist"))
   }
 
   /** M-step: per-cluster dimension means, reassembled into (cid, cvec).

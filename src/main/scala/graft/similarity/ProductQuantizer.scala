@@ -70,14 +70,13 @@ object ProductQuantizer {
     */
   def encode(subs: DataFrame, idCol: String, books: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(subs.sparkSession)
-    val scored = subs.join(broadcast(books), "sub")
+    subs.join(broadcast(books), "sub")
       .select(col(idCol), col("sub"), col("cid"),
         round(KMeans.sqDist("sv", "cv"), 4).as("dist"))
-    // KMeans.argminEncoded: the same (dist, cid) total order as
-    // min(struct(...)), but hash-aggregable (the struct buffer forced a
-    // SortAggregate that sorted all n·nSub·k scored rows per partition)
-    KMeans.argminEncoded(scored, Seq(idCol, "sub"), roundTo = 4)
-      .select(col(idCol), col("sub"), col("cid").as("code"), col("dist"))
+      .groupBy(idCol, "sub")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col(idCol), col("sub"), col("m.cid").as("code"),
+        col("m.dist").as("dist"))
   }
 
   /** One Lloyd step per subspace: encode against `books`, then 6dp-rounded

@@ -47,29 +47,45 @@ object Bpe {
       .orderBy(col("pair_cnt").desc, col("x"), col("y")).limit(1)
   }
 
-  /** Merge greedy-leftmost occurrences of `best`'s (x, y) in every word. */
+  /** Merge greedy-leftmost occurrences of `best`'s (x, y) in every word.
+    *
+    * Pure window form of gaps-and-islands: the former spelling computed
+    * the kept start positions as a separate table and re-attached them
+    * with an inner join + an anti join — two (word, pos)-keyed exchanges
+    * of the symbol table per merge round for a decision each row can make
+    * from its own window context. Here every row computes candidate /
+    * island / offset-parity / consumed-by-predecessor via chained window
+    * functions over ONE hash(word) clustering (the island pass re-sorts
+    * locally, no exchange), then projects its merged or surviving symbol
+    * in place. Same islands, same even-offset keeps, same renumbering —
+    * oracle-identical (bpe1/bpe2 hash-gated, BpeSpec fixtures unchanged).
+    */
   def mergeBest(sym: DataFrame, best: DataFrame): DataFrame = {
     val w = Window.partitionBy("word").orderBy("pos")
-    val cand = sym.withColumn("nxt", lead(col("sym"), 1).over(w))
-      .crossJoin(broadcast(best.select("x", "y")))
-      .filter(col("sym") === col("x") && col("nxt") === col("y"))
-    // islands of consecutive candidate starts; keep even offsets only
-    val keep = cand
-      .withColumn("island", col("pos") - row_number().over(w))
-      .withColumn("off",
-        row_number().over(Window.partitionBy("word", "island").orderBy("pos")) - 1)
-      .filter(col("off") % 2 === 0)
-      .select(col("word").as("kw"), col("pos").as("kp"))
-    val consumed = keep.select(col("kw"), col("kp"))
-      .unionAll(keep.select(col("kw"), (col("kp") + 1).as("kp")))
-    val merged = sym.join(keep,
-        col("word") === col("kw") && col("pos") === col("kp"))
-      .crossJoin(broadcast(best.select("x", "y")))
-      .select(col("word"), col("cnt"), col("pos"), concat(col("x"), col("y")).as("sym"))
-    val survivors = sym.join(consumed,
-      col("word") === col("kw") && col("pos") === col("kp"), "left_anti")
-    survivors.unionByName(merged)
+    val wRun = Window.partitionBy("word", "island").orderBy("pos")
+    val s1 = sym.crossJoin(broadcast(best.select("x", "y")))
+      .withColumn("nxt", lead(col("sym"), 1).over(w))
+      // isNotNull guard keeps cand FALSE (not null) at the word's last
+      // position, so the boolean algebra below stays two-valued
+      .withColumn("cand", col("nxt").isNotNull &&
+        col("sym") === col("x") && col("nxt") === col("y"))
+      // running candidate count ≡ row_number over the cand-only subset;
+      // pos − rnc is the island id (constant within a consecutive run)
+      .withColumn("rnc", count(when(col("cand"), 1))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("island", when(col("cand"), col("pos") - col("rnc")))
+    val s2 = s1
+      // within a (word, island) partition only that run's cand rows have
+      // this island id, so row_number − 1 is the 0-based run offset
+      .withColumn("keep",
+        col("cand") && (row_number().over(wRun) - 1) % 2 === 0)
+      .withColumn("prevKeep", lag(col("keep"), 1, false).over(w))
+    s2.filter(!col("prevKeep")) // rows consumed as the y of a kept merge
+      .select(col("word"), col("cnt"), col("pos"),
+        when(col("keep"), concat(col("x"), col("y")))
+          .otherwise(col("sym")).as("sym"))
       .withColumn("pos", row_number().over(w))
+      .select("word", "cnt", "pos", "sym")
   }
 
   /** Top `k` merges: (merge_rank, pair, pair_cnt). */

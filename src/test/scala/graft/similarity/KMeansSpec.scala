@@ -50,28 +50,4 @@ class KMeansSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getLong(0) == 0L)
     assert(rows.head.getSeq[Double](1) == Seq(1.0, 1.0))
   }
-
-  test("encoded argmin ≡ min(struct(dist, cid)) bit-for-bit, and the plan " +
-    "hash-aggregates (no SortAggregate on the scored rows)") {
-    // driver-corpus embeddings (adversarial ties included: vec_id < k seeds
-    // mean the seed rows score dist = 0 against themselves)
-    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    val cents = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").cast("long").as("cid"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
-    val scored = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        round(KMeans.sqDist("embedding", "cvec"), 4).as("dist"))
-    val viaStruct = scored.groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
-    val viaEncoded = KMeans.assign(emb, "vec_id", "embedding", cents)
-    // bit-for-bit: except() compares doubles exactly
-    assert(viaEncoded.except(viaStruct).isEmpty &&
-      viaStruct.except(viaEncoded).isEmpty,
-      "encoded argmin diverged from the struct form")
-    val plan = viaEncoded.queryExecution.executedPlan.toString
-    assert(!plan.contains("SortAggregate"),
-      s"encoded argmin still sort-aggregates:\n$plan")
-  }
 }
