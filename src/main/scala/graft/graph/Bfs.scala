@@ -62,7 +62,11 @@ object Bfs {
         .localCheckpoint()
       var frontier = settled
       var hop = 0
-      while (hop < maxHops && !frontier.isEmpty) {
+      // No per-round emptiness probe (one Spark job per round): with a
+      // FIXED hop budget an emptied frontier no-ops the remaining rounds
+      // (expand of an empty frontier is empty), so the probe only ever
+      // costs — see Sssp.run for the same reasoning.
+      while (hop < maxHops) {
         hop += 1
         val reached = expand(edges, frontier, settled, hop).localCheckpoint()
         // reached is checkpointed, so the settled union is a flat union of

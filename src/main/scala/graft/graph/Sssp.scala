@@ -45,7 +45,13 @@ object Sssp {
         .localCheckpoint()
       var frontier = dist
       var r = 0
-      while (r < rounds && !frontier.isEmpty) {
+      // No per-round emptiness probe: the probe was its own Spark job every
+      // round (~1/12 of the query's job budget each), and under a FIXED
+      // round count an emptied frontier makes every remaining round a
+      // no-op anyway (empty cand ⇒ merged = dist), so the early exit buys
+      // nothing at any scale where `rounds` is sized to the graph — while
+      // the probe is paid on every round of every run.
+      while (r < rounds) {
         r += 1
         // candidate distances through the frontier's out-edges
         val cand = edges

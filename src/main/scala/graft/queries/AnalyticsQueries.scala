@@ -85,7 +85,16 @@ object AnalyticsQueries {
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - 29, lit(stride))).as("i"))
       .select(col("doc_id"), expr("substring(text, i, 30)").as("win"))
-      .distinct()
+      // ONE win-keyed exchange serves the dedup AND every downstream
+      // win-keyed consumer: hash(win) co-locates all copies of a
+      // (doc_id, win) pair, so the dropDuplicates aggregate runs
+      // exchange-free over it, and the df-cap agg / inverted-index
+      // self-join / stride-4⋈stride-1 referee join all reuse the same
+      // clustering. The former `.distinct()` spelling exchanged the
+      // exploded stream TWICE (once on (doc_id, win) for the dedup, again
+      // on win for whichever join consumed it).
+      .repartition(col("win"))
+      .dropDuplicates("doc_id", "win")
 
   /** dd8's full pair stage — stride-4 windows, document-frequency cap
     * (≤ 20) bounding every join group, inverted-index self-join. Factored
@@ -170,7 +179,7 @@ object AnalyticsQueries {
     val spark = edges0.sparkSession
     import spark.implicits._
     // materialize the pair build ONCE: round 1 consumes it from three
-    // plans (degree agg + both semi-join probes). Serialized columnar
+    // plans (degree agg + both join probes). Serialized columnar
     // persist, NOT localCheckpoint: checkpoint blocks store DESERIALIZED
     // InternalRows (~60 B per 2-long edge), and with two |E|-row
     // generations live during a round build the sf10 peel (115M pairs)
@@ -183,20 +192,70 @@ object AnalyticsQueries {
     var edges = edges0.persist(level)
     edges.count(): Unit // materialize before the loop's triple consumption
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    // DELTA PEEL: only round 1 pays the full 2|E|-row degree shuffle.
+    // From round 2 on, a surviving node's degree changes ONLY by its edges
+    // into last round's DROPPED set — deg_r(u) = deg_{r-1}(u) − |edges of
+    // u into dropped_{r-1}| — so each later round joins the edge cache
+    // against the (typically tiny, post-checkpoint stats-sized) dropped
+    // set instead of re-aggregating every edge endpoint, and removes dead
+    // edges with two anti-joins against the SAME small set instead of two
+    // semi-joins against the |V|-sized alive set. Fixpoint rounds (empty
+    // dropped) degrade to cheap no-op scans. The r13 memory discipline is
+    // unchanged: eager per-round counts, serialized edge persists, prev
+    // generation unpersisted before the next is built, node-grain state
+    // localCheckpointed (cuts per-round lineage).
+    var degAll: DataFrame = null     // (u, dg) over e_{r-1}, checkpointed
+    var olderEdges: DataFrame = null // e_{r-2}: the set last round's dropped
+                                     // nodes were dropped FROM — the delta
+                                     // source; released after the round's
+                                     // degree checkpoint, so peak live edge
+                                     // generations stay at TWO (unchanged)
     for (r <- 1 to rounds) {
-      val deg = edges.select(col("a").as("u")).unionAll(edges.select(col("b")))
-        .groupBy("u").agg(count(lit(1)).as("dg"))
-      // alive is node-grain (≤|V| rows of one long) — checkpointing it
-      // makes the 2|E|-row degree shuffle run ONCE per round; without it,
-      // the two semi-joins and the node count each recomputed it (3× the
-      // round's dominant shuffle, measured 812 s at sf10). localCheckpoint
-      // here also CUTS the growing per-round lineage at node grain, which
-      // the serialized edge persists (lineage-preserving) do not.
-      val alive = deg.filter(col("dg") >= k.toLong).select("u").localCheckpoint()
-      val prev = edges
+      val deg =
+        if (r == 1)
+          edges.select(col("a").as("u")).unionAll(edges.select(col("b")))
+            .groupBy("u").agg(count(lit(1)).as("dg"))
+        else {
+          // deg_r(u) = deg_{r-1}(u) − |e_{r-2} edges at u into dropped_{r-1}|
+          // for u alive after round r−1: ONE pass over the cached edge set
+          // (two tiny probe joins in the same stage — a semi-join per
+          // direction would scan the cache twice) emitting only endpoints
+          // of edges INCIDENT to the dropped set, so the round's shuffle
+          // carries incident-edge rows, never the full 2|E| endpoint
+          // stream. An edge with BOTH endpoints dropped contributes only
+          // to dropped nodes' deltas, which the alive-keyed left join
+          // discards.
+          val dropped = degAll.filter(col("dg") < k.toLong).select("u")
+          val delta = olderEdges
+            .join(dropped.select(col("u").as("da")), col("a") === col("da"), "left")
+            .join(dropped.select(col("u").as("db")), col("b") === col("db"), "left")
+            .filter(col("da").isNotNull || col("db").isNotNull)
+            .select(explode(array(
+              when(col("db").isNotNull, col("a")),
+              when(col("da").isNotNull, col("b")))).as("u"))
+            .filter(col("u").isNotNull)
+            .groupBy("u").agg(count(lit(1)).as("rm"))
+          degAll.filter(col("dg") >= k.toLong)
+            .join(delta, Seq("u"), "left")
+            .select(col("u"),
+              (col("dg") - coalesce(col("rm"), lit(0L))).as("dg"))
+        }
+      // node-grain state is checkpointed (≤|V| rows of two longs): the
+      // degree build runs ONCE per round; without it the edge filter, the
+      // node count and the NEXT round's delta would each recompute it.
+      // localCheckpoint here also CUTS the growing per-round lineage at
+      // node grain, which the serialized edge persists do not. alive and
+      // dropped are cheap FILTERS over this one checkpoint — one
+      // materialization job per round, not one per derived set.
+      val prevDegAll = degAll
+      degAll = deg.localCheckpoint()
+      if (olderEdges != null) olderEdges.unpersist()
+      if (prevDegAll != null) prevDegAll.unpersist()
+      val dropNow = degAll.filter(col("dg") < k.toLong).select("u")
+      olderEdges = edges
       edges = edges
-        .join(alive.select(col("u").as("a")), Seq("a"), "left_semi")
-        .join(alive.select(col("u").as("b")), Seq("b"), "left_semi")
+        .join(dropNow.select(col("u").as("a")), Seq("a"), "left_anti")
+        .join(dropNow.select(col("u").as("b")), Seq("b"), "left_anti")
         .select("a", "b")
         .persist(level)
       // per-round counts are cheap scans of the materialized blocks; they
@@ -205,13 +264,14 @@ object AnalyticsQueries {
       // blocks free immediately: holding all rounds at once is what bent
       // the sf10 curve (seven deserialized 113M-row caches spilling +
       // GC-thrashing the heap)
-      rows += ((r.toLong, alive.count(), edges.count()))
-      prev.unpersist()
-      alive.unpersist()
+      rows += ((r.toLong,
+        degAll.filter(col("dg") >= k.toLong).count(), edges.count()))
     }
     // the result rows are already materialized driver-side (two longs per
-    // round); release the final generation's cache before returning
+    // round); release the final generations' caches before returning
+    if (olderEdges != null) olderEdges.unpersist()
     edges.unpersist()
+    if (degAll != null) degAll.unpersist()
     rows.toSeq.toDF("round", "n_nodes", "n_edges").orderBy("round")
   }
 

@@ -104,12 +104,18 @@ object Wave14Queries {
     }
   )
 
-  /** at3 stage 1: (src, nxt, ppm) transition probabilities from per-user
-    * journeys cut at the first purchase. States: 'START', the channel
-    * event types, and the absorbing 'CONV' (purchase) / 'NULL' (journey
-    * ended unconverted).
+  /** at3 stage 1, ONE materialization job: (src, nxt, ppm) transition
+    * probabilities from per-user journeys cut at the first purchase
+    * (states: 'START', the channel event types, absorbing 'CONV'/'NULL'),
+    * UNIONED with one audit row per raw event type (nxt = '__CT__',
+    * ppm = that type's total purchase cents) — the channel list and the
+    * revenue total ride the same checkpoint instead of costing their own
+    * events scans (the former shape paid three passes over the fact table:
+    * transitions, DISTINCT event_type, and the revenue sum inside the
+    * final action). The two legs are independent subtrees of one job, so
+    * their scans overlap on idle cores.
     */
-  private[queries] def at3Transitions(s: SparkSession, d: String): DataFrame = {
+  private[queries] def at3Stage1(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val order = Window.partitionBy("user_id").orderBy("sec", "event_id")
     val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
@@ -132,20 +138,33 @@ object Wave14Queries {
         .select(col("st").as("src"), lit("NULL").as("nxt")))
     val c = tr.groupBy("src", "nxt").agg(count(lit(1)).as("n"))
     val tw = Window.partitionBy("src")
-    c.withColumn("tot", sum(col("n")).over(tw))
+    val p = c.withColumn("tot", sum(col("n")).over(tw))
       .select(col("src"), col("nxt"), expr("(n * 1000000L) div tot").as("ppm"))
+    // audit leg: per-event-type purchase cents (exact integers); '__CT__'
+    // can never collide with a transition row's nxt (event types, CONV,
+    // NULL). The leg is one keyed agg with map-side partials.
+    val ct = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L))
+        .cast("long").as("cents"))
+      .select(col("event_type").as("src"), lit("__CT__").as("nxt"),
+        col("cents").as("ppm"))
+    p.unionByName(ct)
   }
 
   /** at3 stage 2: exact-integer chain iteration + proportional revenue
     * split. Every DataFrame past the first two aggs is O(channels²) rows.
     */
   private def at3Attribution(s: SparkSession, d: String): DataFrame = {
-    // one scan each for transitions and channel list; localCheckpoint
-    // pins both so the 24 rounds iterate on in-memory |states|²-row data
-    val p = at3Transitions(s, d).localCheckpoint()
-    val channels = Tables.events(s, d)
-      .filter(col("event_type") =!= "purchase")
-      .select(col("event_type").as("rem")).distinct().localCheckpoint()
+    // ONE checkpoint job pins transitions + the per-event-type audit rows;
+    // the 24 rounds then iterate on in-memory |states|²-row data and the
+    // final action never touches the fact table again
+    val stage1 = at3Stage1(s, d).localCheckpoint()
+    val p = stage1.filter(col("nxt") =!= "__CT__")
+    val channels = stage1
+      .filter(col("nxt") === "__CT__" && col("src") =!= "purchase")
+      .select(col("src").as("rem"))
     val rem = channels.unionByName(
       s.range(1).select(lit("__none__").as("rem")))
     // hash-partition the mass table by rem ONCE: rem never changes through
@@ -190,10 +209,8 @@ object Wave14Queries {
       .crossJoin(broadcast(base))
       .select(col("rem").as("channel"),
         greatest(col("base_conv") - coalesce(col("v"), lit(0L)), lit(0L)).as("eff"))
-    val tot = Tables.events(s, d)
-      .agg(sum(when(col("event_type") === "purchase",
-        round(col("value") * 100).cast("long")).otherwise(0L))
-        .cast("long").as("total_cents"))
+    val tot = stage1.filter(col("nxt") === "__CT__")
+      .agg(sum(col("ppm")).cast("long").as("total_cents"))
     val sumEff = eff.agg(sum("eff").cast("long").as("sum_eff"))
     eff.crossJoin(broadcast(tot)).crossJoin(broadcast(sumEff))
       .select(col("channel"), col("eff").as("removal_e12"),

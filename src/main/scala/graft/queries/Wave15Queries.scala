@@ -233,37 +233,82 @@ object Wave15Queries {
         |       GROUP BY 1, 2, 3)
         |SELECT pa, pb, pc, support FROM tr WHERE support >= 3
         |ORDER BY support DESC, pa, pb, pc""".stripMargin) { (s, d) =>
-      val b = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
-      val ok = b.groupBy("c").agg(count(lit(1)).as("n"))
-        .filter(col("n") <= 60).select("c")
-      val bb = b.join(ok, Seq("c"), "left_semi")
-      val pr = bb.as("x").join(bb.as("y"),
-          col("x.c") === col("y.c") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
-        .agg(count(lit(1)).as("s"))
+      // Baskets as per-customer SORTED DISTINCT ARRAYS (fi1's device, cap
+      // 60): the capped collector dedups (c, p) map-side and bounds
+      // aggregation state at O(cap), so the join's incidence rows reach the
+      // basket grain through ONE c-keyed exchange — the former spelling
+      // paid a (c,p)-distinct exchange, a size-count exchange, a semi-join
+      // and a bb⋈bb SELF-JOIN (Σ|basket|² rows through pair-keyed
+      // shuffles). Pair and triple generation is now a narrow in-row
+      // explode over the sorted array: O(cap²) pairs per basket, each
+      // carrying the strictly-after-pb remainder slice for the third item.
+      val baskets = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"))
+        .agg(graft.functions.CappedCollectSet.sortedSetCapped(60)(
+          col("l_partkey")).as("ps"))
+        .filter(size(col("ps")) <= 60)
+        // EXPLICIT generative-stage parallelism: the basket table is tiny
+        // in BYTES (≤60-long arrays) but each row explodes into O(cap²)
+        // pair rows below — AQE's byte-based coalescing saw ~8 MB at
+        // sf0.1, folded the agg exchange to 2 partitions, and the whole
+        // 19M-row pair generation + partial agg ran on 2 cores (measured:
+        // the entire +4 s regression of the first rewrite; a hash(c)
+        // repartition was silently REMOVED as redundant against the agg's
+        // own exchange, so this one is keyless round-robin — user counts
+        // are never coalesced). Sized to the session's core budget, not a
+        // local constant: per-task generation is |baskets|·cap²/cores, and
+        // the pair count's own exchange stays data-adaptive downstream.
+        .repartition(s.sparkContext.defaultParallelism)
+      // pair incidence: one row per (basket, pa<pb) via two CODEGEN'D
+      // generators (fi1's device — a nested higher-order transform/slice
+      // spelling was measured 5× SLOWER here: HOFs are interpreted and
+      // allocate per-pair array slices). Generate preserves the basket
+      // agg's hash(c) partitioning, so everything below runs c-local.
+      val items = baskets.select(col("c"), explode(col("ps")).as("pa"), col("ps"))
+      val pairs = items
+        .select(col("c"), col("pa"), explode(col("ps")).as("pb"))
+        .filter(col("pa") < col("pb"))
+      // the c-keyed basket exchange and the (pa, pb) count exchange are the
+      // only two data-sized shuffles — the latter is Apriori's pass 2
+      // itself (10.4M near-distinct pairs at sf0.1; the cap bounds it at
+      // O(|baskets|·cap²) at every scale)
+      val pr = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("s"))
       val fp = pr.filter(col("s") >= 3).select("pa", "pb")
-      // Apriori candidate GENERATION (fp ⋈ fp on the shared first item +
-      // the third sub-pair prune) runs on the frequent-pair table alone —
-      // |fp|-sized, never basket-sized. Only then do candidates meet the
-      // baskets: one equi-join on pa brings in the basket ids holding the
-      // first item, and two (c, item) semi-joins check the other two.
-      // The former spelling re-generated the Σ|basket|² pair explosion a
-      // SECOND time (once for pr, once inside tr) and carried it through
-      // three pair-keyed shuffles before the prune could bite; this form
-      // counts the same support over candidate-incidence rows only.
-      val cand = fp.as("f1")
-        .join(fp.as("f2"),
-          col("f1.pa") === col("f2.pa") && col("f1.pb") < col("f2.pb"))
-        .select(col("f1.pa").as("pa"), col("f1.pb").as("pb"),
-          col("f2.pb").as("pc"))
-        .join(fp.select(col("pa").as("pb"), col("pb").as("pc")),
-          Seq("pb", "pc"), "left_semi")
-      val tr = cand
-        .join(bb.select(col("c"), col("p").as("pa")), Seq("pa"))
-        .join(bb.select(col("c"), col("p").as("pb")), Seq("c", "pb"), "left_semi")
-        .join(bb.select(col("c"), col("p").as("pc")), Seq("c", "pc"), "left_semi")
+      // Triple support via downward closure: support(pa,pb,pc) ≥ 3 implies
+      // EVERY sub-pair is frequent, so any generation rule that (a) emits
+      // each within-basket triple at most once and (b) covers all triples
+      // whose sub-pairs are frequent yields the identical ≥3-filtered
+      // output (the old f2/f3 joins were performance devices, not
+      // semantics). Rule used here: a triple row per basket pair of
+      // FREQUENT-pair incidences sharing (c, pa) with pb < pc. fp travels
+      // as an explicit broadcast — the frequent-itemset table fitting in
+      // memory IS Apriori's operating contract (min-support is the knob
+      // that keeps it bounded at any corpus size; sf0.1: 4,385 pairs), and
+      // the static planner cannot see that 10.1M-row pr shrinks to 4k
+      // under the support filter, so left to stats it sort-merges the full
+      // 10.4M-row incidence stream against it (measured: that sort is the
+      // whole regression). Frequent-pair incidence is probed at the ITEM
+      // grain (|bb| = 518k rows at sf0.1, never the 10.4M pair stream —
+      // re-exploding pairs for the probe measured +4 s): broadcast-join fp
+      // on the first item, then `array_contains` checks the second against
+      // the basket's sorted array in place — map-side throughout. The
+      // surviving-incidence self-join pays one (c, pa)-keyed exchange of
+      // 13k rows (sf0.1) — noise; fpInc is persisted scratch (rebuilt from
+      // parquet every run) so its build runs once, not once per self-join
+      // side.
+      val fpInc = graft.CacheRegistry.track(
+        items.join(broadcast(fp), Seq("pa"))
+          .filter(array_contains(col("ps"), col("pb")))
+          .select(col("c"), col("pa"), col("pb"))
+          .persist())
+      val tr = fpInc.as("x")
+        .join(fpInc.as("y"),
+          col("x.c") === col("y.c") && col("x.pa") === col("y.pa") &&
+            col("x.pb") < col("y.pb"))
+        .select(col("x.pa").as("pa"), col("x.pb").as("pb"), col("y.pb").as("pc"))
         .groupBy(col("pa"), col("pb"), col("pc"))
         .agg(count(lit(1)).as("support"))
       tr.filter(col("support") >= 3)

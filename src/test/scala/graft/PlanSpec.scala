@@ -102,12 +102,34 @@ class PlanSpec extends SparkSpec {
 
   test("dd8: text rides through the explode — no documents re-join on doc_id") {
     // the window build must NOT re-join documents to fetch text back: with
-    // text carried through the generator, each of the 4 DAG references to
-    // the window table contains exactly ONE documents scan (a re-join would
-    // double every one of them to 8 and add an Exchange pair per reference)
+    // text carried through the generator the plan has NO doc_id-KEYED join
+    // anywhere (the pair stage joins on `win` only; a re-join would add a
+    // doc_id-keyed join + its Exchange pair per window-table reference and
+    // roughly double the scan count). Scan-count reuse at this fixture
+    // scale (4 shuffle partitions, everything broadcastable) varies with
+    // AQE stage-reuse decisions, so the bound is generous; the keyed-join
+    // assertion is the real gate.
     val p = plan("dd8_substring_dup")
+    assert(!"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[doc_id".r
+      .findFirstIn(p).isDefined,
+      s"documents re-joined on doc_id in the window build:\n$p")
     val scans = "FileScan".r.findAllIn(p).size
-    assert(scans <= 4, s"documents re-joined in the window build ($scans scans):\n$p")
+    assert(scans <= 7, s"documents re-joined in the window build ($scans scans):\n$p")
+  }
+
+  test("dd8: one win-keyed exchange serves window dedup and every win-keyed " +
+    "consumer") {
+    // substringWindows clusters by hash(win) BEFORE the (doc_id, win) dedup:
+    // the dedup aggregate and the df-cap aggregate both run over that single
+    // clustering with no ENSURE_REQUIREMENTS exchange of the exploded stream
+    // on (doc_id, win) — the old `.distinct()` spelling exchanged the
+    // generator output twice (once per key set)
+    val p = plan("dd8_substring_dup")
+    assert(p.contains("REPARTITION_BY_COL"),
+      s"win-keyed repartition missing from the window build:\n$p")
+    assert(!"Exchange hashpartitioning\\(doc_id#\\d+L?, win".r.findFirstIn(p).isDefined
+      && !"Exchange hashpartitioning\\(win#\\d+, doc_id".r.findFirstIn(p).isDefined,
+      s"(doc_id, win)-keyed dedup exchange is back:\n$p")
   }
 
   test("dq1: per-column hash-agg profiles — pruned scans, no Expand, no sort " +
